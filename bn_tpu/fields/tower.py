@@ -1,0 +1,556 @@
+"""The Fq2 / Fq6 / Fq12 extension tower over batched limb tensors.
+
+Tensor layout (structure axes lead, batch axis last — SURVEY.md §7):
+    Fq   : (..., L, B)
+    Fq2  : (..., 2, L, B)      Fq2  = Fq[u]/(u^2+1)
+    Fq6  : (..., 3, 2, L, B)   Fq6  = Fq2[v]/(v^3-xi), xi = 9+u
+    Fq12 : (..., 2, 3, 2, L, B) Fq12 = Fq6[w]/(w^2-v)
+
+Design rule: every multiplication Karatsuba tree is FLATTENED — the
+independent base-field products of a tower op are stacked along a new leading
+axis and dispatched as ONE Montgomery-multiply call.  An Fq12 multiply is a
+single 54-wide mont_mul; mul_by_024 a single 39-wide one.  This keeps traced
+programs tiny (one kernel instantiation per tower op) and feeds the TPU VPU
+maximal lane-parallel batches.
+
+Formulas mirror the reference crate (reference: src/fields/fq2.rs, fq6.rs,
+fq12.rs) because those pin the golden vectors; addition/negation work on whole
+tower tensors in one shot since the modular limb kernels broadcast over
+structure axes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax.numpy as jnp
+import jax
+
+from bn_tpu import params as P
+from bn_tpu import oracle as O
+from bn_tpu.fields import fp
+
+FQ = fp.FQ
+
+# ---------------------------------------------------------------------------
+# packing / component access
+# ---------------------------------------------------------------------------
+
+
+def c2(a, i):
+    return a[..., i, :, :]
+
+
+def pack2(x0, x1):
+    return jnp.stack((x0, x1), axis=-3)
+
+
+def c6(a, i):
+    return a[..., i, :, :, :]
+
+
+def pack6(x0, x1, x2):
+    return jnp.stack((x0, x1, x2), axis=-4)
+
+
+def c12(a, i):
+    return a[..., i, :, :, :, :]
+
+
+def pack12(x0, x1):
+    return jnp.stack((x0, x1), axis=-5)
+
+
+# generic (tower-shape-agnostic) linear ops
+def add(a, b):
+    return fp.add(FQ, a, b)
+
+
+def sub(a, b):
+    return fp.sub(FQ, a, b)
+
+
+def neg(a):
+    return fp.neg(FQ, a)
+
+
+def double(a):
+    return fp.add(FQ, a, a)
+
+
+# ---------------------------------------------------------------------------
+# constants (Montgomery form, broadcastable)
+# ---------------------------------------------------------------------------
+
+
+def _fq_const(v: int) -> np.ndarray:
+    return P.int_to_limbs(P.to_mont(v % P.Q, P.Q)).reshape(P.NLIMBS, 1)
+
+
+def _fq2_const(t) -> np.ndarray:
+    return np.stack([_fq_const(t[0]), _fq_const(t[1])])  # (2, L, 1)
+
+
+@functools.lru_cache(maxsize=None)
+def _frob_consts():
+    """Montgomery-form Frobenius gamma tables, derived in oracle.frob_coeffs
+    and verified against the reference's hardcoded limbs
+    (src/fields/fq6.rs:5-40, src/fields/fq12.rs:7-24)."""
+    fq6_c1, fq6_c2, fq12_c1 = O.frob_coeffs()
+    return (
+        tuple(_fq2_const(t) for t in fq6_c1),
+        tuple(_fq2_const(t) for t in fq6_c2),
+        tuple(_fq2_const(t) for t in fq12_c1),
+    )
+
+
+def zeros2(batch_shape):
+    return fp.zeros(FQ, tuple(batch_shape[:-1]) + (2, batch_shape[-1]))
+
+
+def ones2(batch_shape):
+    z = fp.zeros(FQ, batch_shape)
+    return pack2(fp.ones(FQ, batch_shape), z)
+
+
+def ones6(batch_shape):
+    return pack6(
+        ones2(batch_shape), zeros2(batch_shape), zeros2(batch_shape)
+    )
+
+
+def ones12(batch_shape):
+    z6 = fp.zeros(FQ, tuple(batch_shape[:-1]) + (3, 2, batch_shape[-1]))
+    return pack12(ones6(batch_shape), z6)
+
+
+def zeros12(batch_shape):
+    return fp.zeros(FQ, tuple(batch_shape[:-1]) + (2, 3, 2, batch_shape[-1]))
+
+
+# ---------------------------------------------------------------------------
+# Fq2   (reference: src/fields/fq2.rs)
+# ---------------------------------------------------------------------------
+
+
+def fq2_mul(a, b):
+    """Karatsuba: 3 Fq products in one stacked mont_mul
+    (reference: src/fields/fq2.rs:139-155)."""
+    a0, a1 = c2(a, 0), c2(a, 1)
+    b0, b1 = c2(b, 0), c2(b, 1)
+    sa = fp.add(FQ, a0, a1)
+    sb = fp.add(FQ, b0, b1)
+    aa, bb, cc = fp.mul_many(FQ, [(a0, b0), (a1, b1), (sa, sb)])
+    return pack2(fp.sub(FQ, aa, bb), fp.sub(FQ, fp.sub(FQ, cc, aa), bb))
+
+
+def fq2_sq(a):
+    """Complex squaring: (a0+a1)(a0-a1), 2*a0*a1
+    (reference: src/fields/fq2.rs:112-123)."""
+    a0, a1 = c2(a, 0), c2(a, 1)
+    t0 = fp.add(FQ, a0, a1)
+    t1 = fp.sub(FQ, a0, a1)
+    p0, p1 = fp.mul_many(FQ, [(t0, t1), (a0, a1)])
+    return pack2(p0, fp.add(FQ, p1, p1))
+
+
+def fq2_scale_fq(a, k):
+    """Multiply both components by an Fq element k (one stacked mul)."""
+    kb = jnp.broadcast_to(k[..., None, :, :], a.shape) if k.ndim < a.ndim else k
+    return fp.mul(FQ, a, kb)
+
+
+def fq2_mul_by_xi(a):
+    """Multiply by xi = 9 + u without a full product:
+    (9*c0 - c1, c0 + 9*c1) via shift-and-add doubling chains."""
+    nine = fp.mul_small(FQ, a, 9)  # both components at once
+    n0, n1 = c2(nine, 0), c2(nine, 1)
+    return pack2(fp.sub(FQ, n0, c2(a, 1)), fp.add(FQ, n1, c2(a, 0)))
+
+
+def fq2_conj(a):
+    return pack2(c2(a, 0), fp.neg(FQ, c2(a, 1)))
+
+
+def fq2_frob(a, power: int):
+    return a if power % 2 == 0 else fq2_conj(a)
+
+
+def fq2_inv(a):
+    """Algorithm 8 (reference: src/fields/fq2.rs:125-136); one Fermat chain."""
+    a0, a1 = c2(a, 0), c2(a, 1)
+    s0, s1 = fp.mul_many(FQ, [(a0, a0), (a1, a1)])
+    t = fp.inv(FQ, fp.add(FQ, s0, s1))
+    p0, p1 = fp.mul_many(FQ, [(a0, t), (a1, t)])
+    return pack2(p0, fp.neg(FQ, p1))
+
+
+def fq2_mul_const(a, const_np):
+    """Multiply by a static Fq2 constant (Montgomery (2, L, 1) numpy)."""
+    k = jnp.asarray(const_np, dtype=jnp.uint32)
+    k0 = jnp.broadcast_to(k[0], c2(a, 0).shape)
+    k1 = jnp.broadcast_to(k[1], c2(a, 1).shape)
+    a0, a1 = c2(a, 0), c2(a, 1)
+    sa = fp.add(FQ, a0, a1)
+    sk = fp.add(FQ, k0, k1)
+    aa, bb, cc = fp.mul_many(FQ, [(a0, k0), (a1, k1), (sa, sk)])
+    return pack2(fp.sub(FQ, aa, bb), fp.sub(FQ, fp.sub(FQ, cc, aa), bb))
+
+
+# ---------------------------------------------------------------------------
+# Fq6   (reference: src/fields/fq6.rs)
+# ---------------------------------------------------------------------------
+
+
+def fq6_mul_by_nonresidue(a):
+    """v * a: rotate components and xi-multiply the wrapped one
+    (reference: src/fields/fq6.rs:59-65)."""
+    return pack6(fq2_mul_by_xi(c6(a, 2)), c6(a, 0), c6(a, 1))
+
+
+def fq6_mul(a, b):
+    """Karatsuba: 6 Fq2 products = 18 Fq products, one stacked mont_mul
+    (reference: src/fields/fq6.rs:144-158)."""
+    a0, a1, a2 = (c6(a, i) for i in range(3))
+    b0, b1, b2 = (c6(b, i) for i in range(3))
+    # stack the six independent Fq2 multiplications
+    lhs = jnp.stack([a0, a1, a2, add(a1, a2), add(a0, a1), add(a0, a2)])
+    rhs = jnp.stack([b0, b1, b2, add(b1, b2), add(b0, b1), add(b0, b2)])
+    p = fq2_mul(lhs, rhs)
+    aa, bb, cc, t12, t01, t02 = (p[i] for i in range(6))
+    r0 = add(fq2_mul_by_xi(sub(sub(t12, bb), cc)), aa)
+    r1 = add(sub(sub(t01, aa), bb), fq2_mul_by_xi(cc))
+    r2 = sub(add(sub(t02, aa), bb), cc)
+    return pack6(r0, r1, r2)
+
+
+def fq6_sq(a):
+    """CH-SQR2 (reference: src/fields/fq6.rs:113-127): 5 Fq2 products."""
+    a0, a1, a2 = (c6(a, i) for i in range(3))
+    d = add(sub(a0, a1), a2)
+    lhs = jnp.stack([a0, a0, d, a1, a2])
+    rhs = jnp.stack([a0, a1, d, a2, a2])
+    p = fq2_mul(lhs, rhs)
+    s0, ab, s2, bc, s4 = (p[i] for i in range(5))
+    s1 = add(ab, ab)
+    s3 = add(bc, bc)
+    return pack6(
+        add(s0, fq2_mul_by_xi(s3)),
+        add(s1, fq2_mul_by_xi(s4)),
+        sub(sub(add(add(s1, s2), s3), s0), s4),
+    )
+
+
+def fq6_scale_fq2(a, k):
+    """Multiply all three Fq2 components by one Fq2 element (stacked)."""
+    kb = jnp.broadcast_to(k[..., None, :, :, :], a.shape)
+    return fq2_mul(a, kb)
+
+
+def fq6_inv(a):
+    """Norm-based inversion (reference: src/fields/fq6.rs:129-141)."""
+    a0, a1, a2 = (c6(a, i) for i in range(3))
+    xi_a2 = fq2_mul_by_xi(a2)
+    lhs = jnp.stack([a0, a1, a2, a0, a1, a0])
+    rhs = jnp.stack([a0, xi_a2, a2, a1, a1, a2])
+    p = fq2_mul(lhs, rhs)
+    s_a0, a1xa2, s_a2, a0a1, s_a1, a0a2 = (p[i] for i in range(6))
+    k0 = sub(s_a0, a1xa2)
+    k1 = sub(fq2_mul_by_xi(s_a2), a0a1)
+    k2 = sub(s_a1, a0a2)
+    lhs = jnp.stack([a2, a1, a0])
+    rhs = jnp.stack([k1, k2, k0])
+    p = fq2_mul(lhs, rhs)
+    norm = add(fq2_mul_by_xi(add(p[0], p[1])), p[2])
+    t = fq2_inv(norm)
+    tb = jnp.broadcast_to(t, (3,) + t.shape)
+    p = fq2_mul(tb, jnp.stack([k0, k1, k2]))
+    return pack6(p[0], p[1], p[2])
+
+
+def fq6_frob(a, power: int):
+    """(reference: src/fields/fq6.rs:75-81)"""
+    c1t, c2t, _ = _frob_consts()
+    x0 = fq2_frob(c6(a, 0), power)
+    x1 = fq2_mul_const(fq2_frob(c6(a, 1), power), c1t[power % 6])
+    x2 = fq2_mul_const(fq2_frob(c6(a, 2), power), c2t[power % 6])
+    return pack6(x0, x1, x2)
+
+
+def fq6_neg(a):
+    return neg(a)
+
+
+# ---------------------------------------------------------------------------
+# Fq12   (reference: src/fields/fq12.rs)
+# ---------------------------------------------------------------------------
+
+
+def fq12_mul(a, b):
+    """Karatsuba: 3 Fq6 products = 54 Fq products, one stacked mont_mul
+    (reference: src/fields/fq12.rs:295-307)."""
+    a0, a1 = c12(a, 0), c12(a, 1)
+    b0, b1 = c12(b, 0), c12(b, 1)
+    lhs = jnp.stack([a0, a1, add(a0, a1)])
+    rhs = jnp.stack([b0, b1, add(b0, b1)])
+    p = fq6_mul(lhs, rhs)
+    aa, bb, cc = p[0], p[1], p[2]
+    return pack12(
+        add(fq6_mul_by_nonresidue(bb), aa), sub(sub(cc, aa), bb)
+    )
+
+
+def fq12_sq(a):
+    """(reference: src/fields/fq12.rs:275-282): 2 Fq6 products."""
+    a0, a1 = c12(a, 0), c12(a, 1)
+    ab_l = jnp.stack([a0, add(fq6_mul_by_nonresidue(a1), a0)])
+    ab_r = jnp.stack([a1, add(a0, a1)])
+    p = fq6_mul(ab_l, ab_r)
+    ab, t = p[0], p[1]
+    return pack12(
+        sub(sub(t, ab), fq6_mul_by_nonresidue(ab)), add(ab, ab)
+    )
+
+
+def fq12_inv(a):
+    """(reference: src/fields/fq12.rs:284-292)"""
+    a0, a1 = c12(a, 0), c12(a, 1)
+    p = fq6_mul(jnp.stack([a0, a1]), jnp.stack([a0, a1]))
+    t = fq6_inv(sub(p[0], fq6_mul_by_nonresidue(p[1])))
+    tb = jnp.broadcast_to(t, (2,) + t.shape)
+    p = fq6_mul(jnp.stack([a0, a1]), tb)
+    return pack12(p[0], fq6_neg(p[1]))
+
+
+def fq12_conj(a):
+    """Unitary inverse (reference: src/fields/fq12.rs:103-105)."""
+    return pack12(c12(a, 0), neg(c12(a, 1)))
+
+
+def fq12_frob(a, power: int):
+    """(reference: src/fields/fq12.rs:90-95)"""
+    _, _, c12t = _frob_consts()
+    x0 = fq6_frob(c12(a, 0), power)
+    x1 = fq6_frob(c12(a, 1), power)
+    # scale all three Fq2 components of x1 by the gamma constant
+    g = jnp.asarray(c12t[power % 12], dtype=jnp.uint32)
+    gb = jnp.broadcast_to(g, x1.shape)
+    x1 = fq2_mul(x1, gb)
+    return pack12(x0, x1)
+
+
+def fq12_mul_by_024(a, ell_0, ell_vw, ell_vv):
+    """Sparse line multiply: 13 Fq2 products = 39 Fq products, one stacked
+    mont_mul (reference: src/fields/fq12.rs:107-176)."""
+    z0, z1, z2 = (c6(c12(a, 0), i) for i in range(3))
+    z3, z4, z5 = (c6(c12(a, 1), i) for i in range(3))
+    x0, x2, x4 = ell_0, ell_vv, ell_vw
+
+    t2a = add(z0, z4)
+    t1a = add(z0, z2)
+    s0 = add(add(z1, z3), z5)
+    x02 = add(x0, x2)
+    x24 = add(x2, x4)
+    x04 = add(x0, x4)
+    x024 = add(x02, x4)
+    z24 = add(z2, z4)
+
+    lhs = jnp.stack([z0, z2, z4, z1, z5, z1, t1a, z3, z24, z3, z5, t2a, s0])
+    rhs = jnp.stack([x0, x2, x4, x2, x4, x0, x02, x4, x24, x0, x2, x04, x024])
+    p = fq2_mul(lhs, rhs)
+    (d0, d2, d4, z1x2, z5x4, z1x0, t1t0, z3x4, z24x24, z3x0, z5x2, t2t0,
+     s0t0) = (p[i] for i in range(13))
+
+    s1 = z1x2
+    t3 = add(s1, d4)
+    nz0 = add(fq2_mul_by_xi(t3), d0)
+
+    t3 = z5x4
+    s1 = add(s1, t3)
+    t3 = add(t3, d2)
+    t4 = fq2_mul_by_xi(t3)
+    s1 = add(s1, z1x0)
+    nz1 = add(t4, z1x0)
+
+    t3 = sub(sub(t1t0, d0), d2)
+    s1 = add(s1, z3x4)
+    nz2 = add(t3, z3x4)
+
+    t3 = sub(sub(z24x24, d2), d4)
+    t4 = fq2_mul_by_xi(t3)
+    s1 = add(s1, z3x0)
+    nz3 = add(t4, z3x0)
+
+    s1 = add(s1, z5x2)
+    t4 = fq2_mul_by_xi(z5x2)
+    t3 = sub(sub(t2t0, d0), d4)
+    nz4 = add(t4, t3)
+
+    nz5 = sub(s0t0, s1)
+
+    return pack12(pack6(nz0, nz1, nz2), pack6(nz3, nz4, nz5))
+
+
+def fq12_cyclotomic_sq(a):
+    """Granger–Scott (reference: src/fields/fq12.rs:178-227):
+    6 Fq2 products, one stacked mont_mul."""
+    z0, z4, z3 = (c6(c12(a, 0), i) for i in range(3))
+    z2, z1, z5 = (c6(c12(a, 1), i) for i in range(3))
+
+    pairs_u = jnp.stack([z0, z2, z4])
+    pairs_v = jnp.stack([z1, z3, z5])
+    xi_v = fq2_mul_by_xi(pairs_v)
+    lhs = jnp.stack([pairs_u, add(pairs_u, pairs_v)])
+    rhs = jnp.stack([pairs_v, add(xi_v, pairs_u)])
+    p = fq2_mul(lhs, rhs)  # (2, 3, ..., 2, L, B)
+    tmp, big = p[0], p[1]
+    t_a = sub(sub(big, tmp), fq2_mul_by_xi(tmp))  # (3, ..., 2, L, B)
+    t_b = add(tmp, tmp)
+
+    t0, t2, t4 = t_a[0], t_a[1], t_a[2]
+    t1, t3, t5 = t_b[0], t_b[1], t_b[2]
+
+    def m3_sub(t, z):  # 3t - 2z
+        r = sub(t, z)
+        r = add(r, r)
+        return add(r, t)
+
+    def m3_add(t, z):  # 3t + 2z
+        r = add(t, z)
+        r = add(r, r)
+        return add(r, t)
+
+    nz0 = m3_sub(t0, z0)
+    nz1 = m3_add(t1, z1)
+    tmp2 = fq2_mul_by_xi(t5)
+    nz2 = m3_add(tmp2, z2)
+    nz3 = m3_sub(t4, z3)
+    nz4 = m3_sub(t2, z4)
+    nz5 = m3_add(t3, z5)
+
+    return pack12(pack6(nz0, nz4, nz3), pack6(nz2, nz1, nz5))
+
+
+def fq12_cyclotomic_pow_z(a):
+    """a^z for the fixed BN parameter z, via a scan over z's bits with
+    select (branchless analogue of reference src/fields/fq12.rs:229-246)."""
+    bits = P.bits_msb_first(P.Z_BN)
+    res = a
+
+    def body(res, bit):
+        res = fq12_cyclotomic_sq(res)
+        res_mul = fq12_mul(res, a)
+        res = jnp.where(bit.astype(bool), res_mul, res)
+        return res, None
+
+    res, _ = jax.lax.scan(body, res, jnp.asarray(bits[1:], dtype=jnp.uint32))
+    return res
+
+
+def fq12_exp_by_neg_z(a):
+    """(reference: src/fields/fq12.rs:97-101)"""
+    return fq12_conj(fq12_cyclotomic_pow_z(a))
+
+
+def final_exponentiation(f):
+    """Easy chunk + Fuentes-et-al. hard chunk
+    (reference: src/fields/fq12.rs:41-88)."""
+    # easy: f -> conj(f) * f^-1, then * frob^2 of that
+    b = fq12_inv(f)
+    a = fq12_conj(f)
+    c = fq12_mul(a, b)
+    d = fq12_frob(c, 2)
+    s = fq12_mul(d, c)
+
+    # hard
+    a = fq12_exp_by_neg_z(s)
+    b = fq12_cyclotomic_sq(a)
+    c = fq12_cyclotomic_sq(b)
+    d = fq12_mul(c, b)
+    e = fq12_exp_by_neg_z(d)
+    f2 = fq12_cyclotomic_sq(e)
+    g = fq12_exp_by_neg_z(f2)
+    h = fq12_conj(d)
+    i = fq12_conj(g)
+    j = fq12_mul(i, e)
+    k = fq12_mul(j, h)
+    l = fq12_mul(k, b)
+    m = fq12_mul(k, e)
+    n = fq12_mul(s, m)
+    o = fq12_frob(l, 1)
+    p = fq12_mul(o, n)
+    q = fq12_frob(k, 2)
+    r = fq12_mul(q, p)
+    s2 = fq12_conj(s)
+    t = fq12_mul(s2, l)
+    u = fq12_frob(t, 3)
+    v = fq12_mul(u, r)
+    return v
+
+
+def fq12_pow_fr(a, scalar_bits):
+    """a^e for device-side 256 exponent bits (..., 256, B) uint32 MSB-first;
+    branchless ladder (replaces reference FieldElement::pow,
+    src/fields/mod.rs:35-46)."""
+
+    one = ones12(a.shape[:-5] + a.shape[-1:])
+
+    def body(res, bit):
+        res = fq12_sq(res)
+        res_mul = fq12_mul(res, a)
+        res = jnp.where((bit != 0)[..., None, None, None, None, :], res_mul, res)
+        return res, None
+
+    res, _ = jax.lax.scan(body, one, jnp.moveaxis(scalar_bits, -2, 0))
+    return res
+
+
+# ---------------------------------------------------------------------------
+# host <-> device conversion for tower elements
+# ---------------------------------------------------------------------------
+
+
+def fq2_to_device(vals):
+    """vals: list of oracle Fq2 tuples -> (2, L, B)."""
+    return jnp.stack(
+        [
+            fp.to_device(FQ, [v[0] for v in vals]),
+            fp.to_device(FQ, [v[1] for v in vals]),
+        ]
+    )
+
+
+def fq2_from_device(arr):
+    arr = np.asarray(arr)
+    c0s = fp.from_device(FQ, arr[..., 0, :, :].reshape(P.NLIMBS, -1))
+    c1s = fp.from_device(FQ, arr[..., 1, :, :].reshape(P.NLIMBS, -1))
+    return list(zip(c0s, c1s))
+
+
+def fq6_to_device(vals):
+    return jnp.stack([fq2_to_device([v[i] for v in vals]) for i in range(3)])
+
+
+def fq12_to_device(vals):
+    return jnp.stack([fq6_to_device([v[i] for v in vals]) for i in range(2)])
+
+
+def fq12_from_device(arr):
+    arr = np.asarray(arr)
+    B = arr.shape[-1]
+    out = []
+    for b in range(B):
+        el = tuple(
+            tuple(
+                (
+                    P.from_mont(P.limbs_to_int(arr[i, j, 0, :, b]), P.Q),
+                    P.from_mont(P.limbs_to_int(arr[i, j, 1, :, b]), P.Q),
+                )
+                for j in range(3)
+            )
+            for i in range(2)
+        )
+        out.append(el)
+    return out

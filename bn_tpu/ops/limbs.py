@@ -7,14 +7,17 @@ All operations are branchless (masks/selects instead of the reference's
 data-dependent branches, cf. SURVEY.md §7) and vectorize over any leading
 batch/structure axes.
 
-Montgomery multiplication follows CIOS (the same HAC 14.32 family as the
-reference's mul_reduce, src/arith.rs:481-503) at word size 2^16 so that every
-partial sum t[j] + a_i*b_j + c fits exactly in uint32.
+Two structural choices keep both traced-program size and VPU work small:
 
-Two interchangeable implementations are provided:
-  - the pure-jnp path here (reference semantics, runs everywhere), and
-  - a fused Pallas TPU kernel (bn_tpu.ops.mont_pallas), selected via
-    bn_tpu.ops.backend.
+ 1. Multiplication is a single outer product contracted against a static
+    anti-diagonal one-hot tensor (1-D convolution as einsum -> one XLA dot),
+    followed by separated Montgomery REDC — not the reference's interleaved
+    O(L^2)-step CIOS (src/arith.rs:481-503).
+
+ 2. Carry/borrow propagation is whole-tensor Kogge–Stone carry-lookahead
+    over the limb axis: two ripple passes collapse multi-bit column sums to
+    binary carries, then a log2(L)-round generate/propagate prefix resolves
+    them — ~40 HLO ops per chain instead of O(L) sliced scalar steps.
 """
 
 from __future__ import annotations
@@ -37,41 +40,65 @@ def const_limbs(x_limbs: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# carry / borrow chains
+# Kogge–Stone carry resolution
 # ---------------------------------------------------------------------------
 
 
-def _split(s):
-    return s & _MASK, s >> LIMB_BITS
+def _shift_up(x, d):
+    """Shift limbs towards the most-significant end (limb axis -2), zero fill."""
+    pad = jnp.zeros(x.shape[:-2] + (d,) + x.shape[-1:], x.dtype)
+    return jnp.concatenate([pad, x[..., :-d, :]], axis=-2)
+
+
+def resolve_carries(cols, extra: int = 1):
+    """Normalize unnormalized columns to 16-bit limbs.
+
+    cols: (..., C, B) uint32, entries < 2^27.  Appends `extra` zero columns at
+    the top to absorb overflow, then:
+      pass 1+2: ripple (x & mask) + shift(x >> 16) — entries become <= 2^16
+      Kogge–Stone: binary generate/propagate prefix resolves remaining carries
+    Returns (..., C+extra, B) fully normalized limbs (< 2^16).  The appended
+    top limbs carry the overflow (e.g. [-1] is the carry-out when extra=1).
+    """
+    if extra:
+        pad = jnp.zeros(cols.shape[:-2] + (extra,) + cols.shape[-1:], cols.dtype)
+        cols = jnp.concatenate([cols, pad], axis=-2)
+    x = (cols & _MASK) + _shift_up(cols >> LIMB_BITS, 1)
+    x = (x & _MASK) + _shift_up(x >> LIMB_BITS, 1)
+    # x entries <= 2^16: binary carries remain
+    g = x >> LIMB_BITS  # generate (0/1)
+    s = x & _MASK
+    p = s == _MASK  # propagate
+    n = x.shape[-2]
+    d = 1
+    while d < n:
+        g = g | (p & _shift_up(g, d)).astype(U32)
+        p = p & _shift_up(p, d)
+        d *= 2
+    c = _shift_up(g, 1)
+    return (s + c) & _MASK
 
 
 def add_limbs(a, b):
-    """a + b with full carry propagation; returns (sum_limbs, carry_out).
+    """a + b with full carry propagation; returns (sum (..., L, B), carry (..., B))."""
+    r = resolve_carries(a + b, extra=1)
+    return r[..., :-1, :], r[..., -1, :]
 
-    a, b: (..., L, B) with limbs < 2^16.  carry_out: (..., B).
-    """
-    outs = []
-    c = jnp.zeros(a.shape[:-2] + a.shape[-1:], dtype=U32)
-    for i in range(a.shape[-2]):
-        lo, c = _split(a[..., i, :] + b[..., i, :] + c)
-        outs.append(lo)
-    return jnp.stack(outs, axis=-2), c
+
+def _complement(b):
+    """Per-limb ones' complement (limbs < 2^16): mask - b."""
+    return _MASK - b
 
 
 def sub_limbs(a, b):
-    """a - b with borrow propagation; returns (diff_limbs, borrow_out).
+    """a - b; returns (diff (..., L, B), borrow (..., B)) with borrow in {0,1}.
 
-    borrow_out is 1 (uint32) iff a < b.  Mirrors sbb (src/arith.rs:419-439)
-    but at 16-bit words using the +2^16 bias trick.
+    Two's-complement: a + ~b + 1; carry-out 1 means a >= b.
     """
-    outs = []
-    borrow = jnp.zeros(a.shape[:-2] + a.shape[-1:], dtype=U32)
-    bias = np.uint32(1 << LIMB_BITS)
-    for i in range(a.shape[-2]):
-        t = bias + a[..., i, :] - b[..., i, :] - borrow
-        outs.append(t & _MASK)
-        borrow = np.uint32(1) - (t >> LIMB_BITS)
-    return jnp.stack(outs, axis=-2), borrow
+    cols = a + _complement(b)
+    cols = jnp.concatenate([(cols[..., :1, :] + 1), cols[..., 1:, :]], axis=-2)
+    r = resolve_carries(cols, extra=1)
+    return r[..., :-1, :], np.uint32(1) - r[..., -1, :]
 
 
 def geq(a, b):
@@ -98,21 +125,40 @@ def eq(a, b):
 # ---------------------------------------------------------------------------
 
 
+def _bcast_const(c, like):
+    return jnp.broadcast_to(jnp.asarray(c, dtype=U32), like.shape)
+
+
 def mod_add(a, b, m_const):
-    s, _ = add_limbs(a, b)  # carry always 0: a, b < m < 2^255
-    d, borrow = sub_limbs(s, jnp.asarray(m_const, dtype=U32))
-    return select(borrow == 0, d, s)
+    """(a + b) mod m via dual evaluation: s = a+b and s2 = a+b+(2^256-m);
+    the second's carry-out says whether a+b >= m (then s2 = a+b-m)."""
+    mc = np.asarray(m_const).reshape(-1)
+    rminusm = ((1 << 256) - int(sum(int(v) << (16 * i) for i, v in enumerate(mc))))
+    from bn_tpu import params as _P
+
+    rm_const = _P.int_to_limbs(rminusm % (1 << 256)).reshape(NLIMBS, 1)
+    s = resolve_carries(a + b, extra=0)  # a+b < 2m < 2^256: no carry out
+    s2cols = a + b + _bcast_const(rm_const, a)
+    s2 = resolve_carries(s2cols, extra=1)
+    overflow = s2[..., -1, :] != 0
+    return select(overflow, s2[..., :-1, :], s)
 
 
 def mod_sub(a, b, m_const):
-    d, borrow = sub_limbs(a, b)
-    # if a < b, add back the modulus (the add's carry cancels the borrow)
-    d2, _ = add_limbs(d, jnp.broadcast_to(jnp.asarray(m_const, dtype=U32), d.shape))
-    return select(borrow != 0, d2, d)
+    """(a - b) mod m: d = a-b (two's complement) and d2 = a-b+m; select on
+    the borrow."""
+    compl = _complement(b)
+    cols1 = a + compl
+    cols1 = jnp.concatenate([(cols1[..., :1, :] + 1), cols1[..., 1:, :]], axis=-2)
+    r1 = resolve_carries(cols1, extra=1)
+    cols2 = cols1 + _bcast_const(np.asarray(m_const).reshape(NLIMBS, 1), a)
+    r2 = resolve_carries(cols2, extra=1)
+    borrow = r1[..., -1, :] == 0  # no carry-out -> a < b
+    return select(borrow, r2[..., :-1, :], r1[..., :-1, :])
 
 
 def mod_neg(a, m_const):
-    m = jnp.broadcast_to(jnp.asarray(m_const, dtype=U32), a.shape)
+    m = _bcast_const(np.asarray(m_const).reshape(NLIMBS, 1), a)
     d, _ = sub_limbs(m, a)
     # -0 = 0 (cf. U256::neg, src/arith.rs:266-273)
     return select(is_zero(a), a, d)
@@ -125,20 +171,12 @@ def mod_double(a, m_const):
 # ---------------------------------------------------------------------------
 # Montgomery multiplication (convolution + separated REDC at word 2^16)
 # ---------------------------------------------------------------------------
-#
-# Rather than the reference's interleaved CIOS (src/arith.rs:481-503), which
-# unrolls to O(L^2) sequential MAC steps, we compute limb products as a single
-# outer product contracted against a static anti-diagonal one-hot tensor (a
-# 1-D convolution phrased as einsum — maps to one XLA dot), followed by short
-# carry-propagation chains.  Column sums stay < 2^22 because each 32-bit
-# product is split into 16-bit halves before contraction, so everything is
-# exact in uint32/int32 (and in f32 on the MXU: < 2^24).
 
 
-@np.errstate(over="ignore")
-def _conv_tensor(la: int, lb: int) -> np.ndarray:
-    """W[k, i, j] one-hot tensors for lo (i+j==k) and hi (i+j+1==k) halves,
-    combined as a (2, la+lb, la, lb) float-free uint32 tensor."""
+@functools.lru_cache(maxsize=None)
+def _conv_tensor(la: int, lb: int):
+    """W[s, k, i, j]: one-hot anti-diagonal tensors for the lo (i+j==k) and
+    hi (i+j+1==k) halves of 32-bit limb products."""
     n = la + lb
     w = np.zeros((2, n, la, lb), dtype=np.uint32)
     for i in range(la):
@@ -148,46 +186,20 @@ def _conv_tensor(la: int, lb: int) -> np.ndarray:
     return w
 
 
-@functools.lru_cache(maxsize=None)
-def _conv_tensor_cached(la: int, lb: int):
-    return _conv_tensor(la, lb)
-
-
 def limb_conv(a, b):
     """Unnormalized product columns of two limb tensors.
 
     a: (..., La, B), b: (..., Lb, B) with limbs < 2^16.  Returns
-    (..., La+Lb, B) uint32 columns, each < 2^22 (sum of <= 2*min(La,Lb)
-    halves of 16 bits).
+    (..., La+Lb, B) uint32 columns, each < 2^22.
     """
     la, lb = a.shape[-2], b.shape[-2]
-    w = jnp.asarray(_conv_tensor_cached(la, lb))
-    p = a[..., :, None, :] * b[..., None, :, :]  # (..., La, Lb, B) full 32-bit
+    w = jnp.asarray(_conv_tensor(la, lb))
+    p = a[..., :, None, :] * b[..., None, :, :]  # (..., La, Lb, B)
     lo = p & _MASK
     hi = p >> LIMB_BITS
-    cols = jnp.einsum("kij,...ijb->...kb", w[0], lo) + jnp.einsum(
+    return jnp.einsum("kij,...ijb->...kb", w[0], lo) + jnp.einsum(
         "kij,...ijb->...kb", w[1], hi
     )
-    return cols
-
-
-def carry_chain(cols, n_out: int, carry_in=None):
-    """Propagate carries through unnormalized columns (each < 2^27).
-
-    Returns (limbs (..., n_out, B) each < 2^16, carry_out (..., B)).
-    Columns beyond cols.shape[-2] are treated as zero.
-    """
-    ncols = cols.shape[-2]
-    assert n_out <= ncols
-    outs = []
-    c = carry_in
-    for k in range(n_out):
-        t = cols[..., k, :]
-        if c is not None:
-            t = t + c
-        outs.append(t & _MASK)
-        c = t >> LIMB_BITS
-    return jnp.stack(outs, axis=-2), c
 
 
 def mont_mul_jnp(a, b, m_limbs: np.ndarray, inv: int, nprime_limbs: np.ndarray = None):
@@ -196,11 +208,11 @@ def mont_mul_jnp(a, b, m_limbs: np.ndarray, inv: int, nprime_limbs: np.ndarray =
     a, b: (..., L, B) uint32 limbs in [0, m).  m_limbs: host (L,) limbs of m.
     nprime_limbs: host (L,) limbs of -m^-1 mod 2^256 (derived if omitted).
 
-    Separated REDC: T = a*b; m_ = (T mod R)*N' mod R; res = (T + m_*m)/R,
+    Separated REDC: T = a*b; mu = (T mod R)*N' mod R; res = (T + mu*m)/R,
     then one conditional subtract (result < 2m).  Same mathematics as the
     reference's mul_reduce (HAC 14.32, src/arith.rs:481-503), restructured
-    so the heavy contraction is a single dot and the sequential carry chains
-    total ~4L steps instead of ~2L^2 MACs.
+    so the heavy contraction is one dot per conv and carries resolve in
+    log-depth.
     """
     L = NLIMBS
     assert a.shape[-2] == L and b.shape[-2] == L
@@ -210,27 +222,34 @@ def mont_mul_jnp(a, b, m_limbs: np.ndarray, inv: int, nprime_limbs: np.ndarray =
         m_int = _P.limbs_to_int(m_limbs)
         nprime_limbs = _P.int_to_limbs((-_P.inv_mod(m_int, _P.R_MONT)) % _P.R_MONT)
 
-    m_bcast = jnp.asarray(m_limbs.reshape(L, 1), dtype=U32)
-    np_bcast = jnp.asarray(nprime_limbs.reshape(L, 1), dtype=U32)
+    m_bcast = np.asarray(m_limbs).reshape(L, 1)
+    np_bcast = np.asarray(nprime_limbs).reshape(L, 1)
 
-    # 1. full product columns (2L of them)
+    # 1. full product columns (2L), entries < 2^21
     t_cols = limb_conv(a, b)
 
-    # 2. normalize the low half (needed exactly, for step 3)
-    t_low, c16 = carry_chain(t_cols[..., :L, :], L)
+    # 2. low half normalized exactly (carry absorbed into column L)
+    t_low_n = resolve_carries(t_cols[..., :L, :], extra=1)
+    t_low, c16 = t_low_n[..., :L, :], t_low_n[..., L, :]
 
-    # 3. m_ = (T mod R) * N' mod R
-    m_cols = limb_conv(t_low, jnp.broadcast_to(np_bcast, t_low.shape))
-    m_, _ = carry_chain(m_cols[..., :L, :], L)  # carry out dropped: mod R
+    # 3. mu = (T mod R) * N' mod R  (only low L columns; carries stay inside)
+    mu_cols = limb_conv(t_low, _bcast_const(np_bcast, t_low))[..., :L, :]
+    mu = resolve_carries(mu_cols, extra=0)
 
-    # 4. U = m_ * m
-    u_cols = limb_conv(m_, jnp.broadcast_to(m_bcast, m_.shape))
+    # 4. U = mu * m
+    u_cols = limb_conv(mu, _bcast_const(m_bcast, mu))
 
-    # 5. (T + U) / R: low halves sum to 0 mod R; recover their carry-out
-    _, c_s = carry_chain(t_low + u_cols[..., :L, :], L)
+    # 5. (T + U) / R: the low halves sum to 0 mod R; recover their carry-out
+    s_low = resolve_carries(t_low + u_cols[..., :L, :], extra=1)
+    c_s = s_low[..., L, :]
     hi_cols = t_cols[..., L:, :] + u_cols[..., L:, :]
-    res, c_out = carry_chain(hi_cols, L, carry_in=c16 + c_s)
+    hi_cols = jnp.concatenate(
+        [hi_cols[..., :1, :] + (c16 + c_s)[..., None, :], hi_cols[..., 1:, :]],
+        axis=-2,
+    )
+    res_n = resolve_carries(hi_cols, extra=1)
+    res, c_out = res_n[..., :L, :], res_n[..., L, :]
 
-    # 6. result < 2m -> one conditional subtract (c_out provably 0: 2m < 2^255)
-    d, borrow = sub_limbs(res, jnp.broadcast_to(m_bcast, res.shape))
+    # 6. result < 2m -> one conditional subtract (c_out provably 0)
+    d, borrow = sub_limbs(res, _bcast_const(m_bcast, res))
     return select((borrow == 0) | (c_out != 0), d, res)

@@ -1,0 +1,187 @@
+"""Batched optimal ate pairing: G2 precompute, Miller loop, final exponentiation.
+
+TPU-native re-design of the reference engine (reference: src/groups/mod.rs:
+441-771).  The 65-bit ate ladder's schedule is STATIC (a fixed property of
+6z+2), so it is precompiled host-side into a 102-slot step list
+(params.miller_schedule) and executed as a `lax.scan` whose per-step kind
+(doubling vs mixed-addition) is a scanned flag dispatched with `lax.cond` —
+no data-dependent control flow ever reaches the device.
+
+Everything operates on batches: precompute carries the running G2 point
+(2, L, B) through the scan and emits the (102, 3, 2, L, B) line-coefficient
+tensor; the Miller loop replays it against a batch of G1 points; infinite
+inputs are masked to Gt::one at the end (reference: src/groups/mod.rs:764-771).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bn_tpu import curve, oracle as O, params as P
+from bn_tpu.fields import fp, tower
+
+FQ = fp.FQ
+
+
+@functools.lru_cache(maxsize=None)
+def _consts():
+    two_inv = P.int_to_limbs(P.to_mont(P.TWO_INV, P.Q)).reshape(P.NLIMBS, 1)
+    tb = O.twist_b()
+    twist_b = tower._fq2_const(tb)
+    mulq_x, mulq_y = O.twist_frob_coeffs()
+    return {
+        "two_inv": two_inv,
+        "twist_b": twist_b,
+        "mulq_x": tower._fq2_const(mulq_x),
+        "mulq_y": tower._fq2_const(mulq_y),
+    }
+
+
+def _scale_two_inv(a):
+    c = _consts()["two_inv"]
+    return fp.mul(FQ, a, jnp.broadcast_to(jnp.asarray(c, jnp.uint32), a.shape))
+
+
+def _doubling_step(r):
+    """(reference: src/groups/mod.rs:612-634)"""
+    x, y, z = r
+    t = tower
+    p = t.fq2_mul(
+        jnp.stack([x, y, z, x, t.add(y, z)]),
+        jnp.stack([y, y, z, x, t.add(y, z)]),
+    )
+    xy, b, c, j, yz_sq = (p[i] for i in range(5))
+    d = fp.mul_small(FQ, c, 3)
+    e = t.fq2_mul_const(d, _consts()["twist_b"])
+    f = fp.mul_small(FQ, e, 3)
+    a_and_g = _scale_two_inv(jnp.stack([xy, t.add(b, f)]))
+    a, g = a_and_g[0], a_and_g[1]
+    h = t.sub(yz_sq, t.add(b, c))
+    p = t.fq2_mul(
+        jnp.stack([g, e, a, b]),
+        jnp.stack([g, e, t.sub(b, f), h]),
+    )
+    g_sq, e_sq, nx, nz = (p[i] for i in range(4))
+    ny = t.sub(g_sq, fp.mul_small(FQ, e_sq, 3))
+    ell_0 = t.fq2_mul_by_xi(t.sub(e, b))
+    ell_vw = t.neg(h)
+    ell_vv = fp.mul_small(FQ, j, 3)
+    return (nx, ny, nz), jnp.stack([ell_0, ell_vw, ell_vv])
+
+
+def _mixed_addition_step(r, base):
+    """(reference: src/groups/mod.rs:591-610)"""
+    x, y, z = r
+    bx, by = base
+    t = tower
+    p = t.fq2_mul(jnp.stack([z, z]), jnp.stack([bx, by]))
+    d = t.sub(x, p[0])
+    e = t.sub(y, p[1])
+    p = t.fq2_mul(jnp.stack([d, e]), jnp.stack([d, e]))
+    f, g = p[0], p[1]
+    p = t.fq2_mul(jnp.stack([d, x, z]), jnp.stack([f, f, g]))
+    h, i, zg = p[0], p[1], p[2]
+    j = t.sub(t.add(zg, h), t.add(i, i))
+    p = t.fq2_mul(
+        jnp.stack([d, e, h, z, e, d]),
+        jnp.stack([j, t.sub(i, j), y, h, bx, by]),
+    )
+    nx, ny_a, hy, nz, ebx, dby = (p[k] for k in range(6))
+    ny = t.sub(ny_a, hy)
+    ell_0 = t.fq2_mul_by_xi(t.sub(ebx, dby))
+    ell_vv = t.neg(e)
+    ell_vw = d
+    return (nx, ny, nz), jnp.stack([ell_0, ell_vw, ell_vv])
+
+
+def _mul_by_q(a):
+    """Untwist-Frobenius-twist on affine G2 (reference: src/groups/mod.rs:550-555)."""
+    t = tower
+    cs = _consts()
+    return (
+        t.fq2_mul_const(t.fq2_conj(a[0]), cs["mulq_x"]),
+        t.fq2_mul_const(t.fq2_conj(a[1]), cs["mulq_y"]),
+    )
+
+
+def precompute(q_affine):
+    """Line-coefficient precompute over a batch of affine G2 points.
+
+    Returns a (102, 3, 2, L, B) tensor of EllCoeffs in ladder order
+    (reference: src/groups/mod.rs:557-588; count invariant asserted at :761).
+    """
+    flags = np.asarray(P.miller_schedule(), dtype=np.uint32)
+    bx, by = q_affine
+    batch_shape = bx.shape[:-3] + bx.shape[-1:]
+    r0 = (bx, by, tower.ones2(batch_shape))
+
+    def body(r, is_add):
+        return jax.lax.cond(
+            is_add != 0,
+            lambda rr: _mixed_addition_step(rr, (bx, by)),
+            _doubling_step,
+            r,
+        )
+
+    r, coeffs_ladder = jax.lax.scan(body, r0, jnp.asarray(flags[:-2]))
+
+    q1 = _mul_by_q((bx, by))
+    q2_ = _mul_by_q(q1)
+    q2 = (q2_[0], tower.neg(q2_[1]))
+    r, c_q1 = _mixed_addition_step(r, q1)
+    r, c_q2 = _mixed_addition_step(r, q2)
+    return jnp.concatenate([coeffs_ladder, c_q1[None], c_q2[None]], axis=0)
+
+
+def miller_loop(coeffs, p_affine):
+    """Replay coefficients against affine G1 points
+    (reference: src/groups/mod.rs:485-520)."""
+    flags = np.asarray(P.miller_schedule(), dtype=np.uint32)
+    px, py = p_affine
+    batch_shape = px.shape[:-2] + px.shape[-1:]
+    f0 = tower.ones12(batch_shape)
+
+    def body(f, xs):
+        coeff, is_add = xs
+        f = jax.lax.cond(is_add != 0, lambda g: g, tower.fq12_sq, f)
+        ell_0 = coeff[0]
+        # scale ell_vw by g1.y and ell_vv by g1.x in one stacked multiply
+        scaled = tower.fq2_scale_fq(
+            jnp.stack([coeff[1], coeff[2]]), jnp.stack([py, px])
+        )
+        f = tower.fq12_mul_by_024(f, ell_0, scaled[0], scaled[1])
+        return f, None
+
+    f, _ = jax.lax.scan(body, f0, (coeffs, jnp.asarray(flags)))
+    return f
+
+
+def pairing_batch(p_jac, q_jac):
+    """Full reduced pairing over batches of Jacobian G1/G2 points; infinite
+    inputs yield Gt one (reference: src/groups/mod.rs:764-771)."""
+    g1s, g2s = curve.g1_spec(), curve.g2_spec()
+    p_inf = curve.is_zero(g1s, p_jac)
+    q_inf = curve.is_zero(g2s, q_jac)
+    pa = curve.to_affine(g1s, p_jac)
+    qa = curve.to_affine(g2s, q_jac)
+    coeffs = precompute(qa)
+    f = miller_loop(coeffs, pa)
+    out = tower.final_exponentiation(f)
+    ones = tower.ones12(pa[0].shape[:-2] + pa[0].shape[-1:])
+    mask = (p_inf | q_inf)[..., None, None, None, None, :]
+    return jnp.where(mask, ones, out)
+
+
+def miller_batch(p_jac, q_jac):
+    """Miller loop without final exponentiation (for products of pairings:
+    multiply Miller outputs, then one shared final exponentiation)."""
+    g1s, g2s = curve.g1_spec(), curve.g2_spec()
+    pa = curve.to_affine(g1s, p_jac)
+    qa = curve.to_affine(g2s, q_jac)
+    coeffs = precompute(qa)
+    return miller_loop(coeffs, pa)

@@ -20,3 +20,5 @@ jax.config.update("jax_platforms", "cpu")
 # (~500 HLO/s); caching makes repeat test runs fast.
 jax.config.update("jax_compilation_cache_dir", "/tmp/bn_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")

@@ -1,0 +1,127 @@
+"""Fq2/Fq6/Fq12 tower differentially tested against the host oracle (which is
+itself pinned to the reference's golden vectors in test_oracle.py)."""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from bn_tpu import oracle as O
+from bn_tpu import params as P
+from bn_tpu.fields import fp, tower as T
+
+B = 3
+
+
+@pytest.fixture(scope="module")
+def rng():
+    random.seed(33)
+    return random
+
+
+def rfq2(rng):
+    return (rng.randrange(P.Q), rng.randrange(P.Q))
+
+
+def rfq6(rng):
+    return (rfq2(rng), rfq2(rng), rfq2(rng))
+
+
+def rfq12(rng):
+    return (rfq6(rng), rfq6(rng))
+
+
+def fq6_from_device(arr):
+    arr = np.asarray(arr)
+    out = []
+    for b in range(arr.shape[-1]):
+        out.append(
+            tuple(
+                (
+                    P.from_mont(P.limbs_to_int(arr[j, 0, :, b]), P.Q),
+                    P.from_mont(P.limbs_to_int(arr[j, 1, :, b]), P.Q),
+                )
+                for j in range(3)
+            )
+        )
+    return out
+
+
+def test_fq2_ops(rng):
+    a = [rfq2(rng) for _ in range(B)]
+    b = [rfq2(rng) for _ in range(B)]
+    da, db = T.fq2_to_device(a), T.fq2_to_device(b)
+    assert T.fq2_from_device(jax.jit(T.fq2_mul)(da, db)) == [
+        O.fq2_mul(x, y) for x, y in zip(a, b)
+    ]
+    assert T.fq2_from_device(jax.jit(T.fq2_sq)(da)) == [O.fq2_sq(x) for x in a]
+    assert T.fq2_from_device(jax.jit(T.fq2_mul_by_xi)(da)) == [
+        O.fq2_mul_by_xi(x) for x in a
+    ]
+    assert T.fq2_from_device(jax.jit(T.fq2_inv)(da)) == [O.fq2_inv(x) for x in a]
+    assert T.fq2_from_device(jax.jit(T.fq2_conj)(da)) == [O.fq2_conj(x) for x in a]
+
+
+def test_fq6_ops(rng):
+    a = [rfq6(rng) for _ in range(B)]
+    b = [rfq6(rng) for _ in range(B)]
+    da, db = T.fq6_to_device(a), T.fq6_to_device(b)
+    assert fq6_from_device(jax.jit(T.fq6_mul)(da, db)) == [
+        O.fq6_mul(x, y) for x, y in zip(a, b)
+    ]
+    assert fq6_from_device(jax.jit(T.fq6_sq)(da)) == [O.fq6_sq(x) for x in a]
+    assert fq6_from_device(jax.jit(T.fq6_inv)(da)) == [O.fq6_inv(x) for x in a]
+    assert fq6_from_device(jax.jit(T.fq6_mul_by_nonresidue)(da)) == [
+        O.fq6_mul_by_nonresidue(x) for x in a
+    ]
+    for pw in (1, 2, 3):
+        assert fq6_from_device(jax.jit(lambda v, pw=pw: T.fq6_frob(v, pw))(da)) == [
+            O.fq6_frob(x, pw) for x in a
+        ]
+
+
+def test_fq12_ops(rng):
+    a = [rfq12(rng) for _ in range(B)]
+    b = [rfq12(rng) for _ in range(B)]
+    da, db = T.fq12_to_device(a), T.fq12_to_device(b)
+    assert T.fq12_from_device(jax.jit(T.fq12_mul)(da, db)) == [
+        O.fq12_mul(x, y) for x, y in zip(a, b)
+    ]
+    assert T.fq12_from_device(jax.jit(T.fq12_sq)(da)) == [O.fq12_sq(x) for x in a]
+    assert T.fq12_from_device(jax.jit(T.fq12_cyclotomic_sq)(da)) == [
+        O.fq12_cyclotomic_sq(x) for x in a
+    ]
+    assert T.fq12_from_device(jax.jit(T.fq12_inv)(da)) == [O.fq12_inv(x) for x in a]
+    assert T.fq12_from_device(jax.jit(T.fq12_conj)(da)) == [O.fq12_conj(x) for x in a]
+    for pw in (1, 2, 3):
+        assert T.fq12_from_device(jax.jit(lambda v, pw=pw: T.fq12_frob(v, pw))(da)) == [
+            O.fq12_frob(x, pw) for x in a
+        ]
+
+
+def test_fq12_mul_by_024(rng):
+    a = [rfq12(rng) for _ in range(B)]
+    e0 = [rfq2(rng) for _ in range(B)]
+    vw = [rfq2(rng) for _ in range(B)]
+    vv = [rfq2(rng) for _ in range(B)]
+    got = jax.jit(T.fq12_mul_by_024)(
+        T.fq12_to_device(a), T.fq2_to_device(e0), T.fq2_to_device(vw), T.fq2_to_device(vv)
+    )
+    assert T.fq12_from_device(got) == [
+        O.fq12_mul_by_024(x, u, v, w) for x, u, v, w in zip(a, e0, vw, vv)
+    ]
+
+
+def test_exp_by_neg_z(rng):
+    a = [rfq12(rng) for _ in range(B)]
+    da = T.fq12_to_device(a)
+    got = jax.jit(T.fq12_exp_by_neg_z)(da)
+    assert T.fq12_from_device(got) == [O.fq12_exp_by_neg_z(x) for x in a]
+
+
+def test_final_exponentiation(rng):
+    a = [rfq12(rng) for _ in range(B)]
+    da = T.fq12_to_device(a)
+    got = jax.jit(T.final_exponentiation)(da)
+    assert T.fq12_from_device(got) == [O.final_exponentiation(x) for x in a]
