@@ -151,10 +151,22 @@ class Fr:
         return fp.from_device(fp.FR, self.dev)
 
     def to_bytes(self):
+        from bn_tpu.utils import native
+
+        if native.available():
+            flat = native.fp_encode_batch(
+                np.asarray(self.dev).T, native.FIELD_FR
+            )
+            return [flat[i * 32 : (i + 1) * 32] for i in range(self.batch)]
         return [_ser.encode_fr(v) for v in self.to_ints()]
 
     @classmethod
     def from_bytes(cls, bufs):
+        from bn_tpu.utils import native
+
+        if native.available():
+            rows = native.fp_decode_batch(b"".join(bufs), native.FIELD_FR)
+            return cls(jnp.asarray(rows.T))
         return cls.from_ints([_ser.decode_fr(b) for b in bufs])
 
 

@@ -1,0 +1,202 @@
+"""Pippenger multi-scalar multiplication, TPU-shaped.
+
+A new capability beyond the reference crate (implied by the north star,
+BASELINE.md): computes sum_i s_i * P_i for large point sets.
+
+TPU design (SURVEY.md §7 'hard parts' #5): bucket accumulation is
+restructured from scatter-adds (TPU-hostile) into a fixed-length gather
+schedule — the host bins point indices per (window, bucket) with numpy, pads
+every bucket's list to the max occupancy R, and the device replays R rounds
+of `buckets += gather(points, idx[:, r])` with ALL windows × buckets batched
+on the vector lanes (one (w*2^c)-wide branchless Jacobian add per round).
+Bucket weighting uses the classic suffix-sum identity sum_j j*A_j =
+sum_j suffix_j, computed with `lax.associative_scan` over the bucket axis
+using the point-add monoid; windows combine by Horner doubling.
+
+Multi-chip: shard points, full local MSM per device, log-fold the partials
+(bn_tpu.parallel.dist.sharded_msm) — embarrassingly parallel, >90% scaling.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bn_tpu import curve, params as P
+from bn_tpu.fields import fp
+
+DEFAULT_C = 13  # window size in bits
+
+
+# ---------------------------------------------------------------------------
+# host-side schedule construction
+# ---------------------------------------------------------------------------
+
+
+def scalars_to_u16(scalars) -> np.ndarray:
+    """Pack canonical scalars into a (N, 16) uint16 limb matrix."""
+    n = len(scalars)
+    out = np.zeros((n, 16), dtype=np.uint16)
+    for i, s in enumerate(scalars):
+        s = int(s) % P.R_SCALAR
+        for j in range(16):
+            out[i, j] = (s >> (16 * j)) & 0xFFFF
+    return out
+
+
+def extract_digits(sc16: np.ndarray, c: int) -> np.ndarray:
+    """(N, 16) uint16 scalars -> (w, N) int32 window digits."""
+    n = sc16.shape[0]
+    nbits = 256
+    w = (nbits + c - 1) // c
+    bits = np.unpackbits(
+        sc16.view(np.uint8).reshape(n, 32), axis=1, bitorder="little"
+    )  # (N, 256) little-endian bits
+    digits = np.zeros((w, n), dtype=np.int32)
+    for k in range(w):
+        lo = k * c
+        hi = min(lo + c, nbits)
+        seg = bits[:, lo:hi].astype(np.int32)
+        weights = (1 << np.arange(hi - lo)).astype(np.int32)
+        digits[k] = seg @ weights
+    return digits
+
+
+def build_schedule(digits: np.ndarray, c: int):
+    """Per-(window, bucket) padded index lists.
+
+    Returns idx (w, 2^c, R) int32 where entry N means 'no point' (maps to an
+    appended point at infinity), with R the max bucket occupancy.
+    """
+    w, n = digits.shape
+    nb = 1 << c
+    counts = np.zeros((w, nb), dtype=np.int64)
+    for k in range(w):
+        counts[k] = np.bincount(digits[k], minlength=nb)
+    r_max = int(counts[:, 1:].max()) if nb > 1 else 0  # bucket 0 is dead weight
+    r_max = max(r_max, 1)
+    idx = np.full((w, nb, r_max), n, dtype=np.int32)
+    for k in range(w):
+        order = np.argsort(digits[k], kind="stable")
+        d_sorted = digits[k][order]
+        offsets = np.zeros(nb, dtype=np.int64)
+        offsets[1:] = np.cumsum(counts[k])[:-1]
+        rank = np.arange(n, dtype=np.int64) - offsets[d_sorted]
+        keep = (d_sorted != 0) & (rank < r_max)
+        idx[k, d_sorted[keep], rank[keep]] = order[keep].astype(np.int32)
+    return idx
+
+
+# ---------------------------------------------------------------------------
+# device-side accumulation
+# ---------------------------------------------------------------------------
+
+
+def _point_add_op(spec):
+    F = spec.field
+
+    def op(a, b):
+        return curve.add(spec, a, b)
+
+    return op
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def _msm_device(px, py, pz, idx, c: int):
+    """px/py/pz: (L, N+1) affine-with-infinity G1 coords (z in {1, 0});
+    idx: (w, 2^c, R) int32.  Returns a batch-1 Jacobian G1 point."""
+    spec = curve.g1_spec()
+    F = spec.field
+    w, nb, r_rounds = idx.shape
+
+    flat = idx.reshape(w * nb, r_rounds)
+    acc = curve.zero(spec, (w * nb,))
+
+    def round_body(acc, ids):
+        gp = (
+            jnp.take(px, ids, axis=-1),
+            jnp.take(py, ids, axis=-1),
+            jnp.take(pz, ids, axis=-1),
+        )
+        return curve.add(spec, acc, gp), None
+
+    acc, _ = jax.lax.scan(round_body, acc, jnp.moveaxis(flat, -1, 0))
+
+    # bucket weighting: sum_j j*A_j = sum_{j>=1} suffix_j.  Split the batch
+    # axis into (w, L, nb) with the bucket axis trailing (limb axis stays -2).
+    def split_axes(t):
+        return jnp.moveaxis(t.reshape(P.NLIMBS, w, nb), 0, 1)
+
+    buckets = tuple(split_axes(t) for t in acc)
+    # reverse so suffix sums become prefix sums, scan with the point-add monoid
+    rev = tuple(jnp.flip(t, -1) for t in buckets)
+    suf = jax.lax.associative_scan(_point_add_op(spec), rev, axis=-1)
+    # suf[..., i] = suffix_{nb-1-i}; sum over suffix_j for j >= 1 means all
+    # but the last entry; the total of those is element -2 of a second scan
+    total = jax.lax.associative_scan(_point_add_op(spec), suf, axis=-1)
+    wsums = tuple(t[..., nb - 2] for t in total)  # (w, L) per coord
+
+    # Horner over windows: R = ((W_{w-1} * 2^c) + W_{w-2}) * 2^c + ...
+    def win(k):
+        # batch-1 point for window index k (traced k)
+        return tuple(
+            jax.lax.dynamic_index_in_dim(t, k, axis=0, keepdims=False)[..., None]
+            for t in wsums
+        )
+
+    def horner_body(res, k):
+        res = jax.lax.fori_loop(0, c, lambda _, r: curve.double(spec, r), res)
+        res = curve.add(spec, res, win(k))
+        return res, None
+
+    res = tuple(t[..., None] for t in tuple(wsums[i][w - 1] for i in range(3)))
+    res, _ = jax.lax.scan(horner_body, res, jnp.arange(w - 2, -1, -1))
+    return res
+
+
+def msm(points, scalars, c: int = DEFAULT_C):
+    """Multi-scalar multiplication over G1.
+
+    points: list of host oracle Jacobian/affine points, or device affine
+    tensors; scalars: list of ints.  Returns a batch-1 device Jacobian point.
+    """
+    from bn_tpu import oracle as O
+
+    n = len(scalars)
+    assert n >= 1
+    # normalize host points to affine coordinate arrays with appended infinity
+    aff = []
+    for p in points:
+        if len(p) == 3:
+            a = O.g_to_affine(O.FQ_OPS, p)
+            assert a is not None, "infinity input points not supported"
+        else:
+            a = p
+        aff.append(a)
+    xs = [a[0] for a in aff] + [0]
+    ys = [a[1] for a in aff] + [0]
+    px = fp.to_device(fp.FQ, xs)
+    py = fp.to_device(fp.FQ, ys)
+    one = fp.ones(fp.FQ, (1,))
+    pz = jnp.concatenate(
+        [jnp.broadcast_to(one, (P.NLIMBS, n)), fp.zeros(fp.FQ, (1,))], axis=-1
+    )
+
+    sc16 = scalars_to_u16(scalars)
+    digits = extract_digits(sc16, c)
+    idx = jnp.asarray(build_schedule(digits, c))
+    return _msm_device(px, py, pz, idx, c)
+
+
+def msm_oracle(points, scalars):
+    """Host-side exact reference for testing."""
+    from bn_tpu import oracle as O
+
+    acc = O.g_zero(O.FQ_OPS)
+    for p, s in zip(points, scalars):
+        acc = O.g_add(O.FQ_OPS, acc, O.g1_mul(p, s))
+    return acc
