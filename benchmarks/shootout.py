@@ -1,0 +1,90 @@
+"""The reference's shootout workload, TPU-batched (reference: shootout/main.rs).
+
+Recipe (BASELINE.md): two passes of N pairings e(c^-i * G1, d^-i * G2) with
+Gt-product accumulation and a final cross-pass equality assert.  The second
+pass swaps c and d, so acc1 == acc2 by bilinearity — a self-checking
+integration benchmark.
+
+The reference runs 2 x 10000 sequential pairings in ~3m28s (95.8/s); here each
+pass is a single batched device program: the scalar ladders build all c^-i /
+d^-i points in one scan, the pairings run lane-parallel, and the Gt product
+reduces with a log-depth fold.
+
+Run: python benchmarks/shootout.py [--n N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(n: int):
+    import jax
+    import numpy as np
+
+    from bn_tpu import curve, params as P
+    from bn_tpu.fields import fp, tower
+    from bn_tpu.pairing import pairing_batch
+    from bn_tpu.parallel.dist import fq12_fold_product
+
+    c = pow(1901, -1, P.R_SCALAR)
+    d = pow(2344, -1, P.R_SCALAR)
+    # scalars c^-0..c^-(n-1) computed host side (cheap), points on device
+    cs, ds = [], []
+    cc = dd = 1
+    for _ in range(n):
+        cs.append(cc)
+        ds.append(dd)
+        cc = (cc * c) % P.R_SCALAR
+        dd = (dd * d) % P.R_SCALAR
+
+    g1s, g2s = curve.g1_spec(), curve.g2_spec()
+
+    @jax.jit
+    def one_pass(k1, k2):
+        p = curve.mul(g1s, curve.one(g1s, (k1.shape[-1],)), k1)
+        q = curve.mul(g2s, curve.one(g2s, (k2.shape[-1],)), k2)
+        gt = pairing_batch(p, q)
+        return fq12_fold_product(gt)
+
+    kc = fp.to_device(fp.FR, cs)
+    kd = fp.to_device(fp.FR, ds)
+
+    # compile + warm
+    acc1 = jax.block_until_ready(one_pass(kc, kd))
+
+    t0 = time.perf_counter()
+    acc1 = one_pass(kc, kd)
+    acc2 = one_pass(kd, kc)  # swapped scalars
+    jax.block_until_ready((acc1, acc2))
+    dt = time.perf_counter() - t0
+
+    a1 = np.asarray(acc1)
+    a2 = np.asarray(acc2)
+    assert np.array_equal(a1, a2), "shootout product mismatch!"
+
+    rate = 2 * n / dt
+    print(
+        json.dumps(
+            {
+                "metric": "shootout_pairings_per_sec",
+                "value": round(rate, 2),
+                "unit": "pairings/s",
+                "vs_baseline": round(rate / 95.8, 2),
+                "n_pairings": 2 * n,
+                "wall_s": round(dt, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=None)
+    args = ap.parse_args()
+    import jax
+
+    n = args.n or (10000 if jax.default_backend() == "tpu" else 8)
+    main(n)

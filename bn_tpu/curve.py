@@ -107,9 +107,10 @@ class Fq2View:
 
     @staticmethod
     def mul_many(pairs):
-        res = tower.fq2_mul(
-            jnp.stack([p[0] for p in pairs]), jnp.stack([p[1] for p in pairs])
+        lhs, rhs = jax.lax.optimization_barrier(
+            (jnp.stack([p[0] for p in pairs]), jnp.stack([p[1] for p in pairs]))
         )
+        res = tower.fq2_mul(lhs, rhs)
         return [res[i] for i in range(len(pairs))]
 
     @staticmethod

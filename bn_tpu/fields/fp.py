@@ -80,6 +80,12 @@ def double(spec: FpSpec, a):
 
 
 def mul(spec: FpSpec, a, b):
+    # optimization_barrier works around an XLA:TPU miscompile observed when a
+    # stack of slices of a larger tower tensor is fused directly into the
+    # multiply's operand reshapes (wrong products at batch >= 1024; verified
+    # deterministic and fixed by materializing operands — see tests/test_tower.py
+    # ::test_fq12_mul_slice_stack_regression).
+    a, b = jax.lax.optimization_barrier((a, b))
     return get_mont_mul()(a, b, spec.m_limbs, spec.inv)
 
 
@@ -99,6 +105,7 @@ def mul_many(spec: FpSpec, pairs):
         return [mul(spec, *pairs[0])]
     a = jnp.stack([p[0] for p in pairs])
     b = jnp.stack([p[1] for p in pairs])
+    a, b = jax.lax.optimization_barrier((a, b))
     c = mul(spec, a, b)
     return [c[i] for i in range(len(pairs))]
 

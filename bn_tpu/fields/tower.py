@@ -63,6 +63,18 @@ def pack12(x0, x1):
     return jnp.stack((x0, x1), axis=-5)
 
 
+def bstack(xs):
+    """jnp.stack + optimization_barrier.
+
+    Works around an XLA:TPU miscompile: fusing slice->stack->slice chains of
+    tower tensors into multiply operands produces wrong values at large batch
+    (deterministic, batch >= 1024).  Materializing every stacked operand
+    bundle is correct and nearly free (the operands feed kernels that
+    materialize anyway).  See tests/test_tower.py::test_fq12_mul_slice_stack_regression.
+    """
+    return jax.lax.optimization_barrier(jnp.stack(xs))
+
+
 # generic (tower-shape-agnostic) linear ops
 def add(a, b):
     return fp.add(FQ, a, b)
@@ -216,8 +228,8 @@ def fq6_mul(a, b):
     a0, a1, a2 = (c6(a, i) for i in range(3))
     b0, b1, b2 = (c6(b, i) for i in range(3))
     # stack the six independent Fq2 multiplications
-    lhs = jnp.stack([a0, a1, a2, add(a1, a2), add(a0, a1), add(a0, a2)])
-    rhs = jnp.stack([b0, b1, b2, add(b1, b2), add(b0, b1), add(b0, b2)])
+    lhs = bstack([a0, a1, a2, add(a1, a2), add(a0, a1), add(a0, a2)])
+    rhs = bstack([b0, b1, b2, add(b1, b2), add(b0, b1), add(b0, b2)])
     p = fq2_mul(lhs, rhs)
     aa, bb, cc, t12, t01, t02 = (p[i] for i in range(6))
     r0 = add(fq2_mul_by_xi(sub(sub(t12, bb), cc)), aa)
@@ -230,8 +242,8 @@ def fq6_sq(a):
     """CH-SQR2 (reference: src/fields/fq6.rs:113-127): 5 Fq2 products."""
     a0, a1, a2 = (c6(a, i) for i in range(3))
     d = add(sub(a0, a1), a2)
-    lhs = jnp.stack([a0, a0, d, a1, a2])
-    rhs = jnp.stack([a0, a1, d, a2, a2])
+    lhs = bstack([a0, a0, d, a1, a2])
+    rhs = bstack([a0, a1, d, a2, a2])
     p = fq2_mul(lhs, rhs)
     s0, ab, s2, bc, s4 = (p[i] for i in range(5))
     s1 = add(ab, ab)
@@ -253,20 +265,20 @@ def fq6_inv(a):
     """Norm-based inversion (reference: src/fields/fq6.rs:129-141)."""
     a0, a1, a2 = (c6(a, i) for i in range(3))
     xi_a2 = fq2_mul_by_xi(a2)
-    lhs = jnp.stack([a0, a1, a2, a0, a1, a0])
-    rhs = jnp.stack([a0, xi_a2, a2, a1, a1, a2])
+    lhs = bstack([a0, a1, a2, a0, a1, a0])
+    rhs = bstack([a0, xi_a2, a2, a1, a1, a2])
     p = fq2_mul(lhs, rhs)
     s_a0, a1xa2, s_a2, a0a1, s_a1, a0a2 = (p[i] for i in range(6))
     k0 = sub(s_a0, a1xa2)
     k1 = sub(fq2_mul_by_xi(s_a2), a0a1)
     k2 = sub(s_a1, a0a2)
-    lhs = jnp.stack([a2, a1, a0])
-    rhs = jnp.stack([k1, k2, k0])
+    lhs = bstack([a2, a1, a0])
+    rhs = bstack([k1, k2, k0])
     p = fq2_mul(lhs, rhs)
     norm = add(fq2_mul_by_xi(add(p[0], p[1])), p[2])
     t = fq2_inv(norm)
     tb = jnp.broadcast_to(t, (3,) + t.shape)
-    p = fq2_mul(tb, jnp.stack([k0, k1, k2]))
+    p = fq2_mul(tb, bstack([k0, k1, k2]))
     return pack6(p[0], p[1], p[2])
 
 
@@ -293,8 +305,8 @@ def fq12_mul(a, b):
     (reference: src/fields/fq12.rs:295-307)."""
     a0, a1 = c12(a, 0), c12(a, 1)
     b0, b1 = c12(b, 0), c12(b, 1)
-    lhs = jnp.stack([a0, a1, add(a0, a1)])
-    rhs = jnp.stack([b0, b1, add(b0, b1)])
+    lhs = bstack([a0, a1, add(a0, a1)])
+    rhs = bstack([b0, b1, add(b0, b1)])
     p = fq6_mul(lhs, rhs)
     aa, bb, cc = p[0], p[1], p[2]
     return pack12(
@@ -305,8 +317,8 @@ def fq12_mul(a, b):
 def fq12_sq(a):
     """(reference: src/fields/fq12.rs:275-282): 2 Fq6 products."""
     a0, a1 = c12(a, 0), c12(a, 1)
-    ab_l = jnp.stack([a0, add(fq6_mul_by_nonresidue(a1), a0)])
-    ab_r = jnp.stack([a1, add(a0, a1)])
+    ab_l = bstack([a0, add(fq6_mul_by_nonresidue(a1), a0)])
+    ab_r = bstack([a1, add(a0, a1)])
     p = fq6_mul(ab_l, ab_r)
     ab, t = p[0], p[1]
     return pack12(
@@ -317,10 +329,10 @@ def fq12_sq(a):
 def fq12_inv(a):
     """(reference: src/fields/fq12.rs:284-292)"""
     a0, a1 = c12(a, 0), c12(a, 1)
-    p = fq6_mul(jnp.stack([a0, a1]), jnp.stack([a0, a1]))
+    p = fq6_mul(bstack([a0, a1]), bstack([a0, a1]))
     t = fq6_inv(sub(p[0], fq6_mul_by_nonresidue(p[1])))
     tb = jnp.broadcast_to(t, (2,) + t.shape)
-    p = fq6_mul(jnp.stack([a0, a1]), tb)
+    p = fq6_mul(bstack([a0, a1]), tb)
     return pack12(p[0], fq6_neg(p[1]))
 
 
@@ -357,8 +369,8 @@ def fq12_mul_by_024(a, ell_0, ell_vw, ell_vv):
     x024 = add(x02, x4)
     z24 = add(z2, z4)
 
-    lhs = jnp.stack([z0, z2, z4, z1, z5, z1, t1a, z3, z24, z3, z5, t2a, s0])
-    rhs = jnp.stack([x0, x2, x4, x2, x4, x0, x02, x4, x24, x0, x2, x04, x024])
+    lhs = bstack([z0, z2, z4, z1, z5, z1, t1a, z3, z24, z3, z5, t2a, s0])
+    rhs = bstack([x0, x2, x4, x2, x4, x0, x02, x4, x24, x0, x2, x04, x024])
     p = fq2_mul(lhs, rhs)
     (d0, d2, d4, z1x2, z5x4, z1x0, t1t0, z3x4, z24x24, z3x0, z5x2, t2t0,
      s0t0) = (p[i] for i in range(13))
@@ -399,11 +411,11 @@ def fq12_cyclotomic_sq(a):
     z0, z4, z3 = (c6(c12(a, 0), i) for i in range(3))
     z2, z1, z5 = (c6(c12(a, 1), i) for i in range(3))
 
-    pairs_u = jnp.stack([z0, z2, z4])
-    pairs_v = jnp.stack([z1, z3, z5])
+    pairs_u = bstack([z0, z2, z4])
+    pairs_v = bstack([z1, z3, z5])
     xi_v = fq2_mul_by_xi(pairs_v)
-    lhs = jnp.stack([pairs_u, add(pairs_u, pairs_v)])
-    rhs = jnp.stack([pairs_v, add(xi_v, pairs_u)])
+    lhs = bstack([pairs_u, add(pairs_u, pairs_v)])
+    rhs = bstack([pairs_v, add(xi_v, pairs_u)])
     p = fq2_mul(lhs, rhs)  # (2, 3, ..., 2, L, B)
     tmp, big = p[0], p[1]
     t_a = sub(sub(big, tmp), fq2_mul_by_xi(tmp))  # (3, ..., 2, L, B)
@@ -434,15 +446,18 @@ def fq12_cyclotomic_sq(a):
 
 
 def fq12_cyclotomic_pow_z(a):
-    """a^z for the fixed BN parameter z, via a scan over z's bits with
-    select (branchless analogue of reference src/fields/fq12.rs:229-246)."""
+    """a^z for the fixed BN parameter z (reference: src/fields/fq12.rs:229-246).
+
+    The exponent is a compile-time constant, so the scan dispatches each
+    step's multiply with lax.cond on the static bit — set bits pay the
+    fq12_mul, clear bits only the cyclotomic squaring (no wasted multiplies,
+    unlike a select ladder)."""
     bits = P.bits_msb_first(P.Z_BN)
     res = a
 
     def body(res, bit):
         res = fq12_cyclotomic_sq(res)
-        res_mul = fq12_mul(res, a)
-        res = jnp.where(bit.astype(bool), res_mul, res)
+        res = jax.lax.cond(bit != 0, lambda r: fq12_mul(r, a), lambda r: r, res)
         return res, None
 
     res, _ = jax.lax.scan(body, res, jnp.asarray(bits[1:], dtype=jnp.uint32))
@@ -530,11 +545,11 @@ def fq2_from_device(arr):
 
 
 def fq6_to_device(vals):
-    return jnp.stack([fq2_to_device([v[i] for v in vals]) for i in range(3)])
+    return bstack([fq2_to_device([v[i] for v in vals]) for i in range(3)])
 
 
 def fq12_to_device(vals):
-    return jnp.stack([fq6_to_device([v[i] for v in vals]) for i in range(2)])
+    return bstack([fq6_to_device([v[i] for v in vals]) for i in range(2)])
 
 
 def fq12_from_device(arr):

@@ -96,15 +96,6 @@ def build_schedule(digits: np.ndarray, c: int):
 # ---------------------------------------------------------------------------
 
 
-def _point_add_op(spec):
-    F = spec.field
-
-    def op(a, b):
-        return curve.add(spec, a, b)
-
-    return op
-
-
 @functools.partial(jax.jit, static_argnames=("c",))
 def _msm_device(px, py, pz, idx, c: int):
     """px/py/pz: (L, N+1) affine-with-infinity G1 coords (z in {1, 0});
@@ -132,12 +123,35 @@ def _msm_device(px, py, pz, idx, c: int):
         return jnp.moveaxis(t.reshape(P.NLIMBS, w, nb), 0, 1)
 
     buckets = tuple(split_axes(t) for t in acc)
-    # reverse so suffix sums become prefix sums, scan with the point-add monoid
+    # reverse so suffix sums become prefix sums
     rev = tuple(jnp.flip(t, -1) for t in buckets)
-    suf = jax.lax.associative_scan(_point_add_op(spec), rev, axis=-1)
-    # suf[..., i] = suffix_{nb-1-i}; sum over suffix_j for j >= 1 means all
-    # but the last entry; the total of those is element -2 of a second scan
-    total = jax.lax.associative_scan(_point_add_op(spec), suf, axis=-1)
+
+    def shift_scan(pt):
+        """Inclusive prefix scan with the point-add monoid via log-depth
+        shifts (half the op applications of lax.associative_scan, which
+        matters: each application traces a full Jacobian add)."""
+        x, y, z = pt
+        d = 1
+        while d < nb:
+            # shift in points at infinity (identity of the monoid)
+            def sh(t, fill):
+                pad = jnp.broadcast_to(fill[..., None], t.shape[:-1] + (d,))
+                return jnp.concatenate([pad, t[..., :-d]], axis=-1)
+
+            zero_fq = jnp.zeros(x.shape[:-1], dtype=x.dtype)
+            one_fq = jnp.broadcast_to(
+                jnp.asarray(fp.FQ.one_const.reshape(-1), dtype=jnp.uint32),
+                x.shape[:-1],
+            )
+            shifted = (sh(x, zero_fq), sh(y, one_fq), sh(z, zero_fq))
+            x, y, z = curve.add(spec, (x, y, z), shifted)
+            d *= 2
+        return (x, y, z)
+
+    suf = shift_scan(rev)
+    # suf[..., i] = suffix_{nb-1-i}; sum over suffix_j for j >= 1 is the
+    # (nb-1)-prefix total, i.e. element nb-2 of a second inclusive scan
+    total = shift_scan(suf)
     wsums = tuple(t[..., nb - 2] for t in total)  # (w, L) per coord
 
     # Horner over windows: R = ((W_{w-1} * 2^c) + W_{w-2}) * 2^c + ...

@@ -52,26 +52,26 @@ def _doubling_step(r):
     x, y, z = r
     t = tower
     p = t.fq2_mul(
-        jnp.stack([x, y, z, x, t.add(y, z)]),
-        jnp.stack([y, y, z, x, t.add(y, z)]),
+        tower.bstack([x, y, z, x, t.add(y, z)]),
+        tower.bstack([y, y, z, x, t.add(y, z)]),
     )
     xy, b, c, j, yz_sq = (p[i] for i in range(5))
     d = fp.mul_small(FQ, c, 3)
     e = t.fq2_mul_const(d, _consts()["twist_b"])
     f = fp.mul_small(FQ, e, 3)
-    a_and_g = _scale_two_inv(jnp.stack([xy, t.add(b, f)]))
+    a_and_g = _scale_two_inv(tower.bstack([xy, t.add(b, f)]))
     a, g = a_and_g[0], a_and_g[1]
     h = t.sub(yz_sq, t.add(b, c))
     p = t.fq2_mul(
-        jnp.stack([g, e, a, b]),
-        jnp.stack([g, e, t.sub(b, f), h]),
+        tower.bstack([g, e, a, b]),
+        tower.bstack([g, e, t.sub(b, f), h]),
     )
     g_sq, e_sq, nx, nz = (p[i] for i in range(4))
     ny = t.sub(g_sq, fp.mul_small(FQ, e_sq, 3))
     ell_0 = t.fq2_mul_by_xi(t.sub(e, b))
     ell_vw = t.neg(h)
     ell_vv = fp.mul_small(FQ, j, 3)
-    return (nx, ny, nz), jnp.stack([ell_0, ell_vw, ell_vv])
+    return (nx, ny, nz), tower.bstack([ell_0, ell_vw, ell_vv])
 
 
 def _mixed_addition_step(r, base):
@@ -79,24 +79,24 @@ def _mixed_addition_step(r, base):
     x, y, z = r
     bx, by = base
     t = tower
-    p = t.fq2_mul(jnp.stack([z, z]), jnp.stack([bx, by]))
+    p = t.fq2_mul(tower.bstack([z, z]), tower.bstack([bx, by]))
     d = t.sub(x, p[0])
     e = t.sub(y, p[1])
-    p = t.fq2_mul(jnp.stack([d, e]), jnp.stack([d, e]))
+    p = t.fq2_mul(tower.bstack([d, e]), tower.bstack([d, e]))
     f, g = p[0], p[1]
-    p = t.fq2_mul(jnp.stack([d, x, z]), jnp.stack([f, f, g]))
+    p = t.fq2_mul(tower.bstack([d, x, z]), tower.bstack([f, f, g]))
     h, i, zg = p[0], p[1], p[2]
     j = t.sub(t.add(zg, h), t.add(i, i))
     p = t.fq2_mul(
-        jnp.stack([d, e, h, z, e, d]),
-        jnp.stack([j, t.sub(i, j), y, h, bx, by]),
+        tower.bstack([d, e, h, z, e, d]),
+        tower.bstack([j, t.sub(i, j), y, h, bx, by]),
     )
     nx, ny_a, hy, nz, ebx, dby = (p[k] for k in range(6))
     ny = t.sub(ny_a, hy)
     ell_0 = t.fq2_mul_by_xi(t.sub(ebx, dby))
     ell_vv = t.neg(e)
     ell_vw = d
-    return (nx, ny, nz), jnp.stack([ell_0, ell_vw, ell_vv])
+    return (nx, ny, nz), tower.bstack([ell_0, ell_vw, ell_vv])
 
 
 def _mul_by_q(a):
@@ -152,7 +152,7 @@ def miller_loop(coeffs, p_affine):
         ell_0 = coeff[0]
         # scale ell_vw by g1.y and ell_vv by g1.x in one stacked multiply
         scaled = tower.fq2_scale_fq(
-            jnp.stack([coeff[1], coeff[2]]), jnp.stack([py, px])
+            tower.bstack([coeff[1], coeff[2]]), tower.bstack([py, px])
         )
         f = tower.fq12_mul_by_024(f, ell_0, scaled[0], scaled[1])
         return f, None

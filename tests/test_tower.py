@@ -125,3 +125,19 @@ def test_final_exponentiation(rng):
     da = T.fq12_to_device(a)
     got = jax.jit(T.final_exponentiation)(da)
     assert T.fq12_from_device(got) == [O.final_exponentiation(x) for x in a]
+
+
+def test_fq12_mul_slice_stack_regression():
+    """Regression for an XLA:TPU miscompile: fq12_mul at batch >= 1024 with
+    operands sliced+stacked from the (2,3,2,L,B) tensor produced wrong
+    Karatsuba products until operands were materialized with an
+    optimization_barrier (bn_tpu.fields.fp.mul).  Runs at batch 1024 so the
+    failing configuration is covered on every backend."""
+    rng = random.Random(101)
+    B = 1024
+    a = [rfq12(rng) for _ in range(B)]
+    b = [rfq12(rng) for _ in range(B)]
+    da, db = T.fq12_to_device(a), T.fq12_to_device(b)
+    got = T.fq12_from_device(np.asarray(jax.jit(T.fq12_mul)(da, db))[..., ::97])
+    expect = [O.fq12_mul(x, y) for x, y in list(zip(a, b))[::97]]
+    assert got == expect
