@@ -96,10 +96,11 @@ def build_schedule(digits: np.ndarray, c: int):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("c",))
-def _msm_device(px, py, pz, idx, c: int):
+def _msm_core(px, py, pz, idx, c: int):
     """px/py/pz: (L, N+1) affine-with-infinity G1 coords (z in {1, 0});
-    idx: (w, 2^c, R) int32.  Returns a batch-1 Jacobian G1 point."""
+    idx: (w, 2^c, R) int32.  Returns a batch-1 Jacobian G1 point.
+
+    Unjitted core so bn_tpu.parallel.dist can call it inside shard_map."""
     spec = curve.g1_spec()
     F = spec.field
     w, nb, r_rounds = idx.shape
@@ -172,17 +173,14 @@ def _msm_device(px, py, pz, idx, c: int):
     return res
 
 
-def msm(points, scalars, c: int = DEFAULT_C):
-    """Multi-scalar multiplication over G1.
+_msm_device = jax.jit(_msm_core, static_argnames=("c",))
 
-    points: list of host oracle Jacobian/affine points, or device affine
-    tensors; scalars: list of ints.  Returns a batch-1 device Jacobian point.
-    """
+
+def host_points_to_affine_arrays(points):
+    """Host oracle points -> (px, py, pz) device arrays with an appended
+    point at infinity in the last slot (index N encodes 'no point')."""
     from bn_tpu import oracle as O
 
-    n = len(scalars)
-    assert n >= 1
-    # normalize host points to affine coordinate arrays with appended infinity
     aff = []
     for p in points:
         if len(p) == 3:
@@ -191,6 +189,7 @@ def msm(points, scalars, c: int = DEFAULT_C):
         else:
             a = p
         aff.append(a)
+    n = len(aff)
     xs = [a[0] for a in aff] + [0]
     ys = [a[1] for a in aff] + [0]
     px = fp.to_device(fp.FQ, xs)
@@ -199,6 +198,18 @@ def msm(points, scalars, c: int = DEFAULT_C):
     pz = jnp.concatenate(
         [jnp.broadcast_to(one, (P.NLIMBS, n)), fp.zeros(fp.FQ, (1,))], axis=-1
     )
+    return px, py, pz
+
+
+def msm(points, scalars, c: int = DEFAULT_C):
+    """Multi-scalar multiplication over G1.
+
+    points: list of host oracle Jacobian/affine points, or device affine
+    tensors; scalars: list of ints.  Returns a batch-1 device Jacobian point.
+    """
+    n = len(scalars)
+    assert n >= 1
+    px, py, pz = host_points_to_affine_arrays(points)
 
     sc16 = scalars_to_u16(scalars)
     digits = extract_digits(sc16, c)

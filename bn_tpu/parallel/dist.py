@@ -23,15 +23,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
 try:  # jax >= 0.6 exposes shard_map at top level
     from jax import shard_map as _shard_map
 
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    def shard_map(f, mesh, in_specs, out_specs, check_vma=True):
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=check_vma
+        )
 
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map_old
 
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map_old(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    def shard_map(f, mesh, in_specs, out_specs, check_vma=True):
+        return _shard_map_old(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=check_vma
+        )
 
+from bn_tpu import curve
 from bn_tpu.fields import tower
 from bn_tpu.pairing import pairing_batch
 
@@ -83,6 +88,26 @@ def fq12_fold_product(a):
     return a
 
 
+def point_fold_sum(spec, p):
+    """Sum of a batch of Jacobian points along the trailing axis via
+    log-depth pairwise folding; returns a batch-1 point."""
+    b = p[0].shape[-1]
+    p2 = 1 << (b - 1).bit_length()
+    if p2 != b:
+        inf = curve.zero(spec, p[0].shape[:- 2 - spec.field.struct_ndim] + (p2 - b,))
+        p = tuple(jnp.concatenate([c, i], axis=-1) for c, i in zip(p, inf))
+        b = p2
+    while b > 1:
+        h = b // 2
+        p = curve.add(
+            spec,
+            tuple(c[..., :h] for c in p),
+            tuple(c[..., h:] for c in p),
+        )
+        b = h
+    return p
+
+
 # ---------------------------------------------------------------------------
 # sharded pipelines
 # ---------------------------------------------------------------------------
@@ -115,6 +140,90 @@ def _sharded_pairing_product_fn(mesh: Mesh, pdim: tuple, qdim: tuple):
     return jax.jit(
         shard_map(local, mesh, in_specs=in_specs, out_specs=out_specs)
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_msm_fn(mesh: Mesh, c: int):
+    from bn_tpu.msm import _msm_core
+
+    spec = curve.g1_spec()
+
+    def local(px, py, pz, idx):
+        # local views carry a leading shard axis of length 1
+        part = _msm_core(px[0], py[0], pz[0], idx[0], c)
+        # gather all per-device partial sums, reduce with the point monoid
+        gathered = tuple(
+            jax.lax.all_gather(t, DATA_AXIS, axis=1, tiled=True) for t in part
+        )
+        return point_fold_sum(spec, gathered)
+
+    shard = PS(DATA_AXIS)
+    return jax.jit(
+        shard_map(
+            local,
+            mesh,
+            in_specs=(shard, shard, shard, shard),
+            out_specs=(PS(), PS(), PS()),
+            # constants built inside the local MSM (bucket accumulators,
+            # fold padding) are replicated while the inputs vary over the
+            # mesh; vma typing rejects that mix even though the math is
+            # shard-local, so opt out of the check here.
+            check_vma=False,
+        )
+    )
+
+
+def sharded_msm(mesh: Mesh, points, scalars, c: int = None):
+    """Multi-chip Pippenger MSM: points/scalars are split into contiguous
+    shards, every device runs a full local MSM over its shard, and the
+    per-device Jacobian partial sums reduce over ICI with a log-depth
+    point-addition fold (MSM is a sum, so shard-and-add is exact).
+
+    Embarrassingly parallel up to the final log(n_dev) adds, hence the
+    >90% scaling target of BASELINE.md."""
+    from bn_tpu import msm as _msm
+
+    if c is None:
+        c = _msm.DEFAULT_C
+    n_dev = mesh.devices.size
+    n = len(scalars)
+    assert n >= n_dev, "need at least one point per device"
+    bounds = [(n * i) // n_dev for i in range(n_dev + 1)]
+
+    pxs, pys, pzs, idxs = [], [], [], []
+    r_max = 1
+    shards = []
+    for d in range(n_dev):
+        lo, hi = bounds[d], bounds[d + 1]
+        px, py, pz = _msm.host_points_to_affine_arrays(points[lo:hi])
+        digits = _msm.extract_digits(_msm.scalars_to_u16(scalars[lo:hi]), c)
+        shards.append((px, py, pz, digits, hi - lo))
+
+    # one shared schedule width so the stacked idx tensor is rectangular
+    scheds = []
+    for px, py, pz, digits, ns in shards:
+        sched = _msm.build_schedule(digits, c)
+        scheds.append(sched)
+        r_max = max(r_max, sched.shape[-1])
+    n_max = max(hi - lo for lo, hi in zip(bounds[:-1], bounds[1:]))
+    for (px, py, pz, digits, ns), sched in zip(shards, scheds):
+        pad_r = r_max - sched.shape[-1]
+        sched = np.pad(sched, ((0, 0), (0, 0), (0, pad_r)), constant_values=ns)
+        # pad the point arrays to a common length; the pad slots replicate the
+        # appended infinity (index >= ns maps to infinity after clipping)
+        pad_n = n_max - ns
+        sched = np.where(sched >= ns, n_max, sched)
+        pxs.append(jnp.pad(px, ((0, 0), (0, pad_n))))
+        pys.append(jnp.pad(py, ((0, 0), (0, pad_n))))
+        pzs.append(jnp.pad(pz, ((0, 0), (0, pad_n))))
+        idxs.append(sched)
+
+    shard_sharding = NamedSharding(mesh, PS(DATA_AXIS))
+    px = jax.device_put(jnp.stack(pxs), shard_sharding)
+    py = jax.device_put(jnp.stack(pys), shard_sharding)
+    pz = jax.device_put(jnp.stack(pzs), shard_sharding)
+    idx = jax.device_put(jnp.asarray(np.stack(idxs)), shard_sharding)
+    return _sharded_msm_fn(mesh, c)(px, py, pz, idx)
 
 
 def sharded_pairing_product(mesh: Mesh, p, q):

@@ -51,6 +51,23 @@ def test_sharded_pairing_product(inputs):
     assert got == expect
 
 
+def test_sharded_msm_matches_oracle():
+    """Shard-and-add MSM over a 4-device mesh vs the host oracle; uneven
+    shard sizes exercise the padding path."""
+    random.seed(90)
+    n = 21  # not divisible by 4 -> uneven shards
+    points = [O.g1_mul(O.G1_ONE, random.randrange(1, P.R_SCALAR)) for _ in range(n)]
+    scalars = [random.randrange(P.R_SCALAR) for _ in range(n)]
+    mesh = dist.make_mesh(4)
+    got_pt = dist.sharded_msm(mesh, points, scalars, c=5)
+    got = curve.from_device(curve.g1_spec(), got_pt)[0]
+
+    from bn_tpu.msm import msm_oracle
+
+    expect = msm_oracle(points, scalars)
+    assert O.g_eq(O.FQ_OPS, got, expect)
+
+
 def test_fold_product_odd_batch():
     random.seed(89)
     vals = []
