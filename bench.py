@@ -3,6 +3,11 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline compares against the reference crate's shootout rate of
 ~95.8 pairings/sec (single CPU core, BASELINE.md).
+
+Honesty rules: the timed function's output is fetched to the host every
+iteration (so asynchronous dispatch or a broken block_until_ready cannot
+fake a rate), and a sample of lanes is verified bit-exactly against the
+pure-Python oracle before any number is reported.
 """
 
 import json
@@ -22,8 +27,8 @@ def main():
 
     import numpy as np
 
-    from bn_tpu import curve, params as P
-    from bn_tpu.fields import fp
+    from bn_tpu import curve, oracle as O, params as P
+    from bn_tpu.fields import fp, tower
     from bn_tpu.pairing import pairing_batch
 
     on_tpu = jax.default_backend() == "tpu"
@@ -47,14 +52,34 @@ def main():
     p, q = jax.block_until_ready(make_inputs(k1, k2))
 
     fn = jax.jit(pairing_batch)
-    # compile + warmup
-    out = jax.block_until_ready(fn(p, q))
+    # compile + warmup; fetch to host so timing below can't be dispatch-only
+    out_h = np.asarray(fn(p, q))
+
+    # correctness gate: a sample of lanes must match the exact host oracle
+    # bit-for-bit (Montgomery-form limbs) before any rate is reported.
+    sample = [0, 1, B // 2, B - 1][: min(4, B)]
+    got = tower.fq12_from_device(out_h[..., sample])
+    for j, i in enumerate(sample):
+        expect = O.pairing(O.g1_mul(O.G1_ONE, ks1[i]), O.g2_mul(O.G2_ONE, ks2[i]))
+        if got[j] != expect:
+            print(
+                json.dumps(
+                    {
+                        "metric": "bn254_pairings_per_sec",
+                        "value": 0.0,
+                        "unit": "pairings/s",
+                        "vs_baseline": 0.0,
+                        "error": f"lane {i} mismatch vs oracle",
+                    }
+                )
+            )
+            sys.exit(1)
 
     iters = int(os.environ.get("BN_BENCH_ITERS", 3))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(p, q)
-    jax.block_until_ready(out)
+        np.asarray(out)  # force device->host sync each iteration
     dt = (time.perf_counter() - t0) / iters
 
     rate = B / dt
@@ -66,6 +91,8 @@ def main():
                 "value": round(rate, 2),
                 "unit": "pairings/s",
                 "vs_baseline": round(rate / baseline, 2),
+                "batch": B,
+                "verified_lanes": len(sample),
             }
         )
     )

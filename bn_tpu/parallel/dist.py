@@ -138,7 +138,17 @@ def _sharded_pairing_product_fn(mesh: Mesh, pdim: tuple, qdim: tuple):
     # every device returns the full product (replicated)
     out_specs = PS(*([None] * 5))
     return jax.jit(
-        shard_map(local, mesh, in_specs=in_specs, out_specs=out_specs)
+        shard_map(
+            local,
+            mesh,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            # the pairing scans carry constants (Montgomery ones for z0/f0)
+            # that start unvarying while the point inputs vary over the mesh;
+            # vma typing rejects that mix even though the math is shard-local
+            # (same rationale as _sharded_msm_fn below).
+            check_vma=False,
+        )
     )
 
 
