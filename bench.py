@@ -4,10 +4,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline compares against the reference crate's shootout rate of
 ~95.8 pairings/sec (single CPU core, BASELINE.md).
 
-Honesty rules: the timed function's output is fetched to the host every
-iteration (so asynchronous dispatch or a broken block_until_ready cannot
-fake a rate), and a sample of lanes is verified bit-exactly against the
-pure-Python oracle before any number is reported.
+Honesty rules (this box's TPU sits behind a tunnel where block_until_ready
+does not block and device->host transfers cost ~28 ms + ~32 MB/s):
+  1. a sample of lanes of a fully fetched warmup batch is verified bit-exactly
+     against the pure-Python oracle before any rate is reported;
+  2. the timed iterations run as a DEPENDENT on-device scan — each iteration's
+     inputs pass through an optimization_barrier fed by the running checksum,
+     so XLA cannot hoist or CSE the pairing — and only the final 4-byte
+     checksum is fetched, which forces every iteration to execute without
+     paying the tunnel's bulk-transfer cost that a production deployment
+     would not have.
 """
 
 import json
@@ -75,11 +81,23 @@ def main():
             )
             sys.exit(1)
 
-    iters = int(os.environ.get("BN_BENCH_ITERS", 3))
+    import jax.numpy as jnp
+
+    iters = int(os.environ.get("BN_BENCH_ITERS", 8 if on_tpu else 2))
+
+    @jax.jit
+    def timed(p, q):
+        def body(acc, _):
+            (p_, q_), acc_ = jax.lax.optimization_barrier(((p, q), acc))
+            gt = pairing_batch(p_, q_)
+            return acc_ + jnp.sum(gt.astype(jnp.uint32)), None
+
+        acc, _ = jax.lax.scan(body, jnp.uint32(0), None, length=iters)
+        return acc
+
+    np.asarray(timed(p, q))  # compile + first-execution load
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(p, q)
-        np.asarray(out)  # force device->host sync each iteration
+    np.asarray(timed(p, q))  # 4-byte fetch forces all iterations
     dt = (time.perf_counter() - t0) / iters
 
     rate = B / dt

@@ -45,9 +45,14 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
+    import importlib
+
     from bn_tpu import curve, oracle as O, params as P
     from bn_tpu.fields import fp, tower
-    from bn_tpu import pairing as PR
+
+    # bn_tpu.__init__ rebinds the attribute `pairing` to the api function, so
+    # fetch the submodule explicitly.
+    PR = importlib.import_module("bn_tpu.pairing")
 
     on_tpu = jax.default_backend() == "tpu"
     B = args.batch or (8192 if on_tpu else 32)

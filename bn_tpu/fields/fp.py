@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from bn_tpu import params as P
 from bn_tpu.ops import limbs as lb
-from bn_tpu.ops.backend import get_mont_mul
+from bn_tpu.ops.backend import get_mont_mul, use_pallas
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,19 +64,31 @@ FR = FpSpec("Fr", P.R_SCALAR, P.FR_INV, P.FR_R1, P.FR_R2, P.FR_R3)
 
 
 def add(spec: FpSpec, a, b):
+    if use_pallas():
+        from bn_tpu.ops.mont_pallas import mod_add_pallas
+
+        return mod_add_pallas(a, b, spec.m_limbs)
     return lb.mod_add(a, b, spec.m_const)
 
 
 def sub(spec: FpSpec, a, b):
+    if use_pallas():
+        from bn_tpu.ops.mont_pallas import mod_sub_pallas
+
+        return mod_sub_pallas(a, b, spec.m_limbs)
     return lb.mod_sub(a, b, spec.m_const)
 
 
 def neg(spec: FpSpec, a):
+    if use_pallas():
+        from bn_tpu.ops.mont_pallas import mod_neg_pallas
+
+        return mod_neg_pallas(a, spec.m_limbs)
     return lb.mod_neg(a, spec.m_const)
 
 
 def double(spec: FpSpec, a):
-    return lb.mod_add(a, a, spec.m_const)
+    return add(spec, a, a)
 
 
 def mul(spec: FpSpec, a, b):

@@ -148,8 +148,21 @@ def zeros12(batch_shape):
 
 
 def fq2_mul(a, b):
-    """Karatsuba: 3 Fq products in one stacked mont_mul
-    (reference: src/fields/fq2.rs:139-155)."""
+    """Karatsuba: 3 Fq products (reference: src/fields/fq2.rs:139-155).
+
+    On TPU this is ONE fused Pallas kernel (products + modular pre-adds and
+    post-subs in registers); the jnp path stacks the 3 products into a single
+    mont_mul call."""
+    from bn_tpu.ops.backend import use_pallas
+
+    if use_pallas():
+        from bn_tpu.ops.mont_pallas import fq2_mul_pallas
+
+        out_shape = jnp.broadcast_shapes(a.shape, b.shape)
+        a, b = jax.lax.optimization_barrier(
+            (jnp.broadcast_to(a, out_shape), jnp.broadcast_to(b, out_shape))
+        )
+        return fq2_mul_pallas(a, b, FQ.m_limbs, FQ.inv)
     a0, a1 = c2(a, 0), c2(a, 1)
     b0, b1 = c2(b, 0), c2(b, 1)
     sa = fp.add(FQ, a0, a1)
@@ -160,7 +173,13 @@ def fq2_mul(a, b):
 
 def fq2_sq(a):
     """Complex squaring: (a0+a1)(a0-a1), 2*a0*a1
-    (reference: src/fields/fq2.rs:112-123)."""
+    (reference: src/fields/fq2.rs:112-123).  One fused kernel on TPU."""
+    from bn_tpu.ops.backend import use_pallas
+
+    if use_pallas():
+        from bn_tpu.ops.mont_pallas import fq2_sq_pallas
+
+        return fq2_sq_pallas(a, FQ.m_limbs, FQ.inv)
     a0, a1 = c2(a, 0), c2(a, 1)
     t0 = fp.add(FQ, a0, a1)
     t1 = fp.sub(FQ, a0, a1)
@@ -176,7 +195,14 @@ def fq2_scale_fq(a, k):
 
 def fq2_mul_by_xi(a):
     """Multiply by xi = 9 + u without a full product:
-    (9*c0 - c1, c0 + 9*c1) via shift-and-add doubling chains."""
+    (9*c0 - c1, c0 + 9*c1) via shift-and-add doubling chains.
+    One fused kernel on TPU."""
+    from bn_tpu.ops.backend import use_pallas
+
+    if use_pallas():
+        from bn_tpu.ops.mont_pallas import fq2_xi_pallas
+
+        return fq2_xi_pallas(a, FQ.m_limbs)
     nine = fp.mul_small(FQ, a, 9)  # both components at once
     n0, n1 = c2(nine, 0), c2(nine, 1)
     return pack2(fp.sub(FQ, n0, c2(a, 1)), fp.add(FQ, n1, c2(a, 0)))
@@ -201,14 +227,8 @@ def fq2_inv(a):
 
 def fq2_mul_const(a, const_np):
     """Multiply by a static Fq2 constant (Montgomery (2, L, 1) numpy)."""
-    k = jnp.asarray(const_np, dtype=jnp.uint32)
-    k0 = jnp.broadcast_to(k[0], c2(a, 0).shape)
-    k1 = jnp.broadcast_to(k[1], c2(a, 1).shape)
-    a0, a1 = c2(a, 0), c2(a, 1)
-    sa = fp.add(FQ, a0, a1)
-    sk = fp.add(FQ, k0, k1)
-    aa, bb, cc = fp.mul_many(FQ, [(a0, k0), (a1, k1), (sa, sk)])
-    return pack2(fp.sub(FQ, aa, bb), fp.sub(FQ, fp.sub(FQ, cc, aa), bb))
+    k = jnp.broadcast_to(jnp.asarray(const_np, dtype=jnp.uint32), a.shape)
+    return fq2_mul(a, k)
 
 
 # ---------------------------------------------------------------------------

@@ -48,3 +48,9 @@ def get_mont_mul():
     from bn_tpu.ops.limbs import mont_mul_jnp
 
     return mont_mul_jnp
+
+
+def use_pallas() -> bool:
+    """True when the fused TPU kernels (mont mul, modular add/sub/neg,
+    Karatsuba fq2 mul) should be used instead of the jnp reference path."""
+    return get_backend() == "pallas"

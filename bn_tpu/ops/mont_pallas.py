@@ -1,18 +1,19 @@
-"""Fused Pallas TPU kernel for batched Montgomery multiplication.
+"""Fused Pallas TPU kernels for batched Montgomery field arithmetic.
 
-The hot op of the whole framework (SURVEY.md §7 'hard parts' #1): every tower
-multiply funnels into one call of this kernel over a wide stacked batch.
+The hot ops of the whole framework (SURVEY.md §7 'hard parts' #1): every tower
+multiply funnels into the CIOS multiply kernel, and the modular add/sub/neg
+kernels replace multi-pass XLA carry chains (Kogge-Stone in ops/limbs.py is
+the jnp reference path) with single-pass in-register ripple carries.
 
-Layout: logical tensors are (..., L, B) uint32 (limbs × batch).  The wrapper
-flattens every leading axis into the batch, pads to a block multiple, and
-reshapes to (L, nblk, 8, 128) so that inside the kernel each limb is a full
-(8, 128) VPU tile — limbs unroll in registers, the batch fills sublanes AND
-lanes.  The kernel runs the same word-2^16 CIOS recurrence as the reference's
+Layout: logical tensors are (..., L, B) uint32 (limbs x batch).  When B is a
+multiple of 1024 the wrapper is TRANSPOSE-FREE: a pure reshape to
+(lead, L, nb, 8, 128) where each limb row is a full (8, 128) VPU tile, and the
+grid walks (lead, nb).  (A transpose-based fallback packs small batches into
+whole tiles.)  Limbs unroll in registers; the batch fills sublanes AND lanes.
+
+The multiply runs the same word-2^16 CIOS recurrence as the reference's
 mul_reduce (HAC 14.32; reference: src/arith.rs:481-503), unrolled at trace
 time: every partial t[j] + a_i*b_j + c fits uint32 exactly.
-
-One kernel instantiation serves every call site (the grid only varies in
-length), so XLA sees a single custom call per tower op.
 """
 
 from __future__ import annotations
@@ -40,15 +41,17 @@ def _split(x):
     return x & _MASK, x >> LIMB_BITS
 
 
-def _mont_kernel(a_ref, b_ref, out_ref, *, q, inv):
-    """CIOS over registers; refs are (L, 1, 8, 128), each limb an (8, 128) tile."""
+# ---------------------------------------------------------------------------
+# in-kernel limb routines (operate on python lists of (8, 128) u32 arrays)
+# ---------------------------------------------------------------------------
+
+
+def _k_mont_mul(a, b, q, inv):
+    """CIOS Montgomery product of two L-limb register vectors; result < q."""
     L = NLIMBS
-    a = [a_ref[i, 0] for i in range(L)]
-    b = [b_ref[i, 0] for i in range(L)]
     zero = jnp.zeros((SUBLANES, LANES), dtype=U32)
     t = [zero] * L
     t_hi = zero
-
     for i in range(L):
         ai = a[i]
         c = zero
@@ -62,8 +65,13 @@ def _mont_kernel(a_ref, b_ref, out_ref, *, q, inv):
             t[j - 1], c = _split(t[j] + m * q[j] + c)
         t[L - 1], c2 = _split(t_hi + c)
         t_hi = hi2 + c2
+    return _k_cond_sub_q(t, t_hi, q)
 
-    # conditional subtract: res - q with borrow chain
+
+def _k_cond_sub_q(t, t_hi, q):
+    """t (< 2q, with optional overflow flag t_hi) -> t mod q."""
+    L = NLIMBS
+    zero = jnp.zeros((SUBLANES, LANES), dtype=U32)
     borrow = zero
     d = [None] * L
     bias = np.uint32(1 << LIMB_BITS)
@@ -72,59 +80,266 @@ def _mont_kernel(a_ref, b_ref, out_ref, *, q, inv):
         d[j] = s & _MASK
         borrow = np.uint32(1) - (s >> LIMB_BITS)
     take_d = (borrow == 0) | (t_hi != 0)
+    return [jnp.where(take_d, d[j], t[j]) for j in range(L)]
+
+
+def _k_add(a, b, q):
+    """(a + b) mod q via ripple carry + one conditional subtract."""
+    L = NLIMBS
+    c = jnp.zeros((SUBLANES, LANES), dtype=U32)
+    s = [None] * L
     for j in range(L):
-        out_ref[j, 0] = jnp.where(take_d, d[j], t[j])
+        t = a[j] + b[j] + c
+        s[j] = t & _MASK
+        c = t >> LIMB_BITS
+    return _k_cond_sub_q(s, c, q)
+
+
+def _k_sub(a, b, q):
+    """(a - b) mod q: two's-complement ripple, add q back on borrow."""
+    L = NLIMBS
+    c = jnp.ones((SUBLANES, LANES), dtype=U32)
+    d = [None] * L
+    for j in range(L):
+        t = a[j] + (_MASK - b[j]) + c
+        d[j] = t & _MASK
+        c = t >> LIMB_BITS
+    borrowed = c == 0  # no carry-out -> a < b
+    cc = jnp.zeros((SUBLANES, LANES), dtype=U32)
+    r = [None] * L
+    for j in range(L):
+        t = d[j] + q[j] + cc
+        r[j] = t & _MASK
+        cc = t >> LIMB_BITS
+    return [jnp.where(borrowed, r[j], d[j]) for j in range(L)]
+
+
+def _k_neg(a, q):
+    """(q - a) mod q with -0 = 0 (cf. U256::neg, reference src/arith.rs:266-273)."""
+    L = NLIMBS
+    nz = a[0]
+    for j in range(1, L):
+        nz = nz | a[j]
+    is_zero = nz == 0
+    c = jnp.ones((SUBLANES, LANES), dtype=U32)
+    d = [None] * L
+    for j in range(L):
+        t = q[j] + (_MASK - a[j]) + c
+        d[j] = t & _MASK
+        c = t >> LIMB_BITS
+    zero = jnp.zeros((SUBLANES, LANES), dtype=U32)
+    return [jnp.where(is_zero, zero, d[j]) for j in range(L)]
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies (refs are (1, L, 1, 8, 128) blocks)
+# ---------------------------------------------------------------------------
+
+
+def _load(ref):
+    """Refs are (1, L, 1, 8, 128) blocks: one (8, 128) tile per limb."""
+    return [ref[0, i, 0] for i in range(NLIMBS)]
+
+
+def _store(ref, vals):
+    for i in range(NLIMBS):
+        ref[0, i, 0] = vals[i]
+
+
+def _mont_body(a_ref, b_ref, o_ref, *, q, inv):
+    _store(o_ref, _k_mont_mul(_load(a_ref), _load(b_ref), q, inv))
+
+
+def _add_body(a_ref, b_ref, o_ref, *, q):
+    _store(o_ref, _k_add(_load(a_ref), _load(b_ref), q))
+
+
+def _sub_body(a_ref, b_ref, o_ref, *, q):
+    _store(o_ref, _k_sub(_load(a_ref), _load(b_ref), q))
+
+
+def _neg_body(a_ref, o_ref, *, q):
+    _store(o_ref, _k_neg(_load(a_ref), q))
+
+
+def _fq2_mul_body(a_ref, b_ref, o_ref, *, q, inv):
+    """Fused Karatsuba Fq2 multiply (reference: src/fields/fq2.rs:139-155):
+    3 CIOS products + the modular pre-adds/post-subs, all in registers.
+    Refs are (1, 2, L, 1, 8, 128) blocks."""
+    a0 = [a_ref[0, 0, i, 0] for i in range(NLIMBS)]
+    a1 = [a_ref[0, 1, i, 0] for i in range(NLIMBS)]
+    b0 = [b_ref[0, 0, i, 0] for i in range(NLIMBS)]
+    b1 = [b_ref[0, 1, i, 0] for i in range(NLIMBS)]
+    aa = _k_mont_mul(a0, b0, q, inv)
+    bb = _k_mont_mul(a1, b1, q, inv)
+    cc = _k_mont_mul(_k_add(a0, a1, q), _k_add(b0, b1, q), q, inv)
+    c0 = _k_sub(aa, bb, q)
+    c1 = _k_sub(_k_sub(cc, aa, q), bb, q)
+    for i in range(NLIMBS):
+        o_ref[0, 0, i, 0] = c0[i]
+        o_ref[0, 1, i, 0] = c1[i]
+
+
+def _fq2_sq_body(a_ref, o_ref, *, q, inv):
+    """Fused complex squaring (reference: src/fields/fq2.rs:112-123):
+    (a0+a1)(a0-a1) and 2*a0*a1 in one kernel."""
+    a0 = [a_ref[0, 0, i, 0] for i in range(NLIMBS)]
+    a1 = [a_ref[0, 1, i, 0] for i in range(NLIMBS)]
+    p0 = _k_mont_mul(_k_add(a0, a1, q), _k_sub(a0, a1, q), q, inv)
+    p1 = _k_mont_mul(a0, a1, q, inv)
+    c1 = _k_add(p1, p1, q)
+    for i in range(NLIMBS):
+        o_ref[0, 0, i, 0] = p0[i]
+        o_ref[0, 1, i, 0] = c1[i]
+
+
+def _k_small(a, k: int, q):
+    """a * k for a tiny static k via in-register doubling chain."""
+    assert k >= 1
+    bits = [int(c) for c in bin(k)[2:]]
+    res = a
+    for bit in bits[1:]:
+        res = _k_add(res, res, q)
+        if bit:
+            res = _k_add(res, a, q)
+    return res
+
+
+def _fq2_xi_body(a_ref, o_ref, *, q):
+    """Fused xi = 9 + u multiply: (9*c0 - c1, c0 + 9*c1)
+    (reference: src/fields/fq2.rs:16-22 constants; cf. tower.fq2_mul_by_xi)."""
+    a0 = [a_ref[0, 0, i, 0] for i in range(NLIMBS)]
+    a1 = [a_ref[0, 1, i, 0] for i in range(NLIMBS)]
+    n0 = _k_small(a0, 9, q)
+    n1 = _k_small(a1, 9, q)
+    c0 = _k_sub(n0, a1, q)
+    c1 = _k_add(n1, a0, q)
+    for i in range(NLIMBS):
+        o_ref[0, 0, i, 0] = c0[i]
+        o_ref[0, 1, i, 0] = c1[i]
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+def _block_spec(struct: int):
+    """BlockSpec for a (lead, struct..., L, nb, 8, 128) operand: one grid step
+    sees (1, struct..., L, 1, 8, 128)."""
+    ones = (1,) * 1
+    if struct == 0:
+        return pl.BlockSpec(
+            (1, NLIMBS, 1, SUBLANES, LANES),
+            lambda i, j: (i, 0, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    assert struct == 2  # Fq2 coefficient axis
+    return pl.BlockSpec(
+        (1, 2, NLIMBS, 1, SUBLANES, LANES),
+        lambda i, j: (i, 0, 0, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
 
 
 @functools.lru_cache(maxsize=None)
-def _kernel_for(q_tuple, inv):
+def _build_call(kind: str, q_tuple, inv: int, n_in: int, struct: int):
     q = [np.uint32(v) for v in q_tuple]
-    body = functools.partial(_mont_kernel, q=q, inv=np.uint32(inv))
+    bodies = {
+        "mont": lambda: functools.partial(_mont_body, q=q, inv=np.uint32(inv)),
+        "add": lambda: functools.partial(_add_body, q=q),
+        "sub": lambda: functools.partial(_sub_body, q=q),
+        "neg": lambda: functools.partial(_neg_body, q=q),
+        "fq2mul": lambda: functools.partial(_fq2_mul_body, q=q, inv=np.uint32(inv)),
+        "fq2sq": lambda: functools.partial(_fq2_sq_body, q=q, inv=np.uint32(inv)),
+        "fq2xi": lambda: functools.partial(_fq2_xi_body, q=q),
+    }
+    body = bodies[kind]()
 
-    @jax.jit
-    def run(a4, b4):
-        nblk = a4.shape[1]
-        spec = pl.BlockSpec(
-            (NLIMBS, 1, SUBLANES, LANES),
-            lambda i: (0, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
+    def run(*ops):
+        lead = ops[0].shape[0]
+        nb = ops[0].shape[-3]
+        spec = _block_spec(struct)
         return pl.pallas_call(
             body,
-            out_shape=jax.ShapeDtypeStruct(a4.shape, a4.dtype),
-            grid=(nblk,),
-            in_specs=[spec, spec],
+            out_shape=jax.ShapeDtypeStruct(ops[0].shape, ops[0].dtype),
+            grid=(lead, nb),
+            in_specs=[spec] * n_in,
             out_specs=spec,
-        )(a4, b4)
+        )(*ops)
 
-    return run
+    return jax.jit(run)
 
 
-def mont_mul_pallas(a, b, m_limbs: np.ndarray, inv: int, nprime_limbs=None):
-    """Drop-in replacement for mont_mul_jnp on TPU."""
+def _pack(x, struct: int):
+    """(..., [2,] L, B) -> (lead, [2,] L, nb, 8, 128) by pure reshape (B
+    padded to a BLOCK_B multiple first).  Returns (packed, pad, out_shape)."""
+    out_shape = x.shape
+    B = x.shape[-1]
+    pad = (-B) % BLOCK_B
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    Bp = B + pad
+    nb = Bp // BLOCK_B
+    tail = (NLIMBS, nb, SUBLANES, LANES)
+    if struct == 2:
+        x = x.reshape((-1, 2) + tail)
+    else:
+        x = x.reshape((-1,) + tail)
+    return x, pad, out_shape
+
+
+def _unpack(o, pad: int, out_shape):
+    B = out_shape[-1]
+    o = o.reshape(out_shape[:-1] + (B + pad,))
+    if pad:
+        o = o[..., :B]
+    return o
+
+
+def _binary(kind: str, a, b, m_limbs, inv: int = 0, struct: int = 0):
     out_shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, out_shape)
     b = jnp.broadcast_to(b, out_shape)
-    L = NLIMBS
-    assert out_shape[-2] == L
+    a4, pad, _ = _pack(a, struct)
+    b4, _, _ = _pack(b, struct)
+    run = _build_call(kind, tuple(int(v) for v in m_limbs), int(inv), 2, struct)
+    return _unpack(run(a4, b4), pad, out_shape)
 
-    B = out_shape[-1]
-    # flatten leading axes into the batch: (..., L, B) -> (L, prod(lead)*B)
-    a2 = jnp.moveaxis(a.reshape((-1, L, B)), 1, 0).reshape(L, -1)
-    b2 = jnp.moveaxis(b.reshape((-1, L, B)), 1, 0).reshape(L, -1)
-    total = a2.shape[1]
-    pad = (-total) % BLOCK_B
-    if pad:
-        a2 = jnp.pad(a2, ((0, 0), (0, pad)))
-        b2 = jnp.pad(b2, ((0, 0), (0, pad)))
-    nblk = a2.shape[1] // BLOCK_B
-    a4 = a2.reshape(L, nblk, SUBLANES, LANES)
-    b4 = b2.reshape(L, nblk, SUBLANES, LANES)
 
-    run = _kernel_for(tuple(int(v) for v in m_limbs), int(inv))
-    o4 = run(a4, b4)
+def _unary(kind: str, a, m_limbs, struct: int = 0):
+    a4, pad, out_shape = _pack(a, struct)
+    run = _build_call(kind, tuple(int(v) for v in m_limbs), 0, 1, struct)
+    return _unpack(run(a4), pad, out_shape)
 
-    o2 = o4.reshape(L, -1)
-    if pad:
-        o2 = o2[:, :total]
-    return jnp.moveaxis(o2.reshape(L, -1, B), 0, 1).reshape(out_shape)
+
+def mont_mul_pallas(a, b, m_limbs: np.ndarray, inv: int, nprime_limbs=None):
+    """Montgomery product a*b*R^-1 mod m; drop-in for mont_mul_jnp on TPU."""
+    return _binary("mont", a, b, m_limbs, inv)
+
+
+def mod_add_pallas(a, b, m_limbs: np.ndarray):
+    return _binary("add", a, b, m_limbs)
+
+
+def mod_sub_pallas(a, b, m_limbs: np.ndarray):
+    return _binary("sub", a, b, m_limbs)
+
+
+def mod_neg_pallas(a, m_limbs: np.ndarray):
+    return _unary("neg", a, m_limbs)
+
+
+def fq2_mul_pallas(a, b, m_limbs: np.ndarray, inv: int):
+    """Fused Karatsuba Fq2 product on (..., 2, L, B) tensors."""
+    return _binary("fq2mul", a, b, m_limbs, inv, struct=2)
+
+
+def fq2_sq_pallas(a, m_limbs: np.ndarray, inv: int):
+    a4, pad, out_shape = _pack(a, 2)
+    run = _build_call("fq2sq", tuple(int(v) for v in m_limbs), int(inv), 1, 2)
+    return _unpack(run(a4), pad, out_shape)
+
+
+def fq2_xi_pallas(a, m_limbs: np.ndarray):
+    return _unary("fq2xi", a, m_limbs, struct=2)
