@@ -322,7 +322,14 @@ def fq6_neg(a):
 
 def fq12_mul(a, b):
     """Karatsuba: 3 Fq6 products = 54 Fq products, one stacked mont_mul
-    (reference: src/fields/fq12.rs:295-307)."""
+    (reference: src/fields/fq12.rs:295-307).  On TPU this is ONE fused
+    Pallas kernel — every intermediate stays in registers/VMEM."""
+    from bn_tpu.ops.backend import use_pallas
+
+    if use_pallas():
+        from bn_tpu.ops import tower_pallas as twp
+
+        return twp.fq12_mul(a, b, FQ.m_limbs, FQ.inv)
     a0, a1 = c12(a, 0), c12(a, 1)
     b0, b1 = c12(b, 0), c12(b, 1)
     lhs = bstack([a0, a1, add(a0, a1)])
@@ -335,7 +342,14 @@ def fq12_mul(a, b):
 
 
 def fq12_sq(a):
-    """(reference: src/fields/fq12.rs:275-282): 2 Fq6 products."""
+    """(reference: src/fields/fq12.rs:275-282): 2 Fq6 products.
+    One fused Pallas kernel on TPU."""
+    from bn_tpu.ops.backend import use_pallas
+
+    if use_pallas():
+        from bn_tpu.ops import tower_pallas as twp
+
+        return twp.fq12_sq(a, FQ.m_limbs, FQ.inv)
     a0, a1 = c12(a, 0), c12(a, 1)
     ab_l = bstack([a0, add(fq6_mul_by_nonresidue(a1), a0)])
     ab_r = bstack([a1, add(a0, a1)])
@@ -375,7 +389,17 @@ def fq12_frob(a, power: int):
 
 def fq12_mul_by_024(a, ell_0, ell_vw, ell_vv):
     """Sparse line multiply: 13 Fq2 products = 39 Fq products, one stacked
-    mont_mul (reference: src/fields/fq12.rs:107-176)."""
+    mont_mul (reference: src/fields/fq12.rs:107-176).  One fused Pallas
+    kernel on TPU."""
+    from bn_tpu.ops.backend import use_pallas
+
+    if use_pallas():
+        from bn_tpu.ops import tower_pallas as twp
+
+        coeff = bstack([ell_0, ell_vw, ell_vv])
+        # coeff leading stack axis becomes the (3,) struct axis: move it
+        # in front of the (2, L, B) tail it already has
+        return twp.fq12_mul024(a, coeff, FQ.m_limbs, FQ.inv)
     z0, z1, z2 = (c6(c12(a, 0), i) for i in range(3))
     z3, z4, z5 = (c6(c12(a, 1), i) for i in range(3))
     x0, x2, x4 = ell_0, ell_vv, ell_vw
@@ -427,7 +451,13 @@ def fq12_mul_by_024(a, ell_0, ell_vw, ell_vv):
 
 def fq12_cyclotomic_sq(a):
     """Granger–Scott (reference: src/fields/fq12.rs:178-227):
-    6 Fq2 products, one stacked mont_mul."""
+    6 Fq2 products, one stacked mont_mul.  One fused Pallas kernel on TPU."""
+    from bn_tpu.ops.backend import use_pallas
+
+    if use_pallas():
+        from bn_tpu.ops import tower_pallas as twp
+
+        return twp.fq12_cyclo_sq(a, FQ.m_limbs, FQ.inv)
     z0, z4, z3 = (c6(c12(a, 0), i) for i in range(3))
     z2, z1, z5 = (c6(c12(a, 1), i) for i in range(3))
 

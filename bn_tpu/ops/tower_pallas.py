@@ -1,0 +1,571 @@
+"""Fused Pallas TPU kernels for whole tower operations (Fq6/Fq12 level).
+
+Round-1 kernels (ops/mont_pallas.py) fused up to Fq2; every Fq12-level op
+still issued dozens of separate modular add/sub/xi pallas calls, each a full
+HBM round trip of Fq12-sized tensors.  These kernels keep the ENTIRE tower
+formula in registers/VMEM: one kernel per Fq12 multiply / square /
+mul_by_024 / cyclotomic square, and one kernel per Miller-ladder step
+(doubling / mixed-addition, including the line-coefficient emission), so the
+pairing's hot loops touch HBM only for their true inputs and outputs.
+
+Formulas mirror bn_tpu/fields/tower.py (reference: src/fields/fq6.rs,
+fq12.rs; src/groups/mod.rs:591-634) which pin the golden vectors.
+
+In-kernel value representation:
+    Fq   = python list of NLIMBS (8,128)-uint32 register tiles
+    Fq2  = [Fq, Fq]
+    Fq6  = [Fq2, Fq2, Fq2]
+    Fq12 = [Fq6, Fq6]
+Tensor layout matches ops/mont_pallas: logical (..., *struct, L, B) packed by
+pure reshape to (lead, *struct, L, nb, 8, 128); grid walks (lead, nb).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bn_tpu.params import NLIMBS
+from bn_tpu.ops.mont_pallas import (
+    BLOCK_B,
+    LANES,
+    SUBLANES,
+    _k_add,
+    _k_mont_mul,
+    _k_neg,
+    _k_small,
+    _k_sub,
+)
+
+U32 = jnp.uint32
+
+
+# ---------------------------------------------------------------------------
+# in-kernel tower algebra (lists of register tiles; q/inv are numpy consts)
+# ---------------------------------------------------------------------------
+
+
+def _k2_add(a, b, q):
+    return [_k_add(a[0], b[0], q), _k_add(a[1], b[1], q)]
+
+
+def _k2_sub(a, b, q):
+    return [_k_sub(a[0], b[0], q), _k_sub(a[1], b[1], q)]
+
+
+def _k2_neg(a, q):
+    return [_k_neg(a[0], q), _k_neg(a[1], q)]
+
+
+def _k2_dbl(a, q):
+    return _k2_add(a, a, q)
+
+
+def _k2_mul(a, b, q, inv):
+    """Karatsuba Fq2 product (reference: src/fields/fq2.rs:139-155)."""
+    aa = _k_mont_mul(a[0], b[0], q, inv)
+    bb = _k_mont_mul(a[1], b[1], q, inv)
+    cc = _k_mont_mul(_k_add(a[0], a[1], q), _k_add(b[0], b[1], q), q, inv)
+    return [_k_sub(aa, bb, q), _k_sub(_k_sub(cc, aa, q), bb, q)]
+
+
+def _k2_sq(a, q, inv):
+    """Complex squaring (reference: src/fields/fq2.rs:112-123)."""
+    p0 = _k_mont_mul(_k_add(a[0], a[1], q), _k_sub(a[0], a[1], q), q, inv)
+    p1 = _k_mont_mul(a[0], a[1], q, inv)
+    return [p0, _k_add(p1, p1, q)]
+
+
+def _k2_xi(a, q):
+    """xi = 9+u multiply: (9 c0 - c1, c0 + 9 c1)."""
+    n0 = _k_small(a[0], 9, q)
+    n1 = _k_small(a[1], 9, q)
+    return [_k_sub(n0, a[1], q), _k_add(n1, a[0], q)]
+
+
+def _k2_scale_fq(a, k, q, inv):
+    """Multiply both Fq components by an Fq element k."""
+    return [_k_mont_mul(a[0], k, q, inv), _k_mont_mul(a[1], k, q, inv)]
+
+
+def _k2_small(a, n: int, q):
+    return [_k_small(a[0], n, q), _k_small(a[1], n, q)]
+
+
+def _k6_add(a, b, q):
+    return [_k2_add(x, y, q) for x, y in zip(a, b)]
+
+
+def _k6_sub(a, b, q):
+    return [_k2_sub(x, y, q) for x, y in zip(a, b)]
+
+
+def _k6_nr(a, q):
+    """v * a (reference: src/fields/fq6.rs:59-65)."""
+    return [_k2_xi(a[2], q), a[0], a[1]]
+
+
+def _k6_mul(a, b, q, inv):
+    """Karatsuba Fq6 product (reference: src/fields/fq6.rs:144-158)."""
+    a0, a1, a2 = a
+    b0, b1, b2 = b
+    aa = _k2_mul(a0, b0, q, inv)
+    bb = _k2_mul(a1, b1, q, inv)
+    cc = _k2_mul(a2, b2, q, inv)
+    t12 = _k2_mul(_k2_add(a1, a2, q), _k2_add(b1, b2, q), q, inv)
+    t01 = _k2_mul(_k2_add(a0, a1, q), _k2_add(b0, b1, q), q, inv)
+    t02 = _k2_mul(_k2_add(a0, a2, q), _k2_add(b0, b2, q), q, inv)
+    r0 = _k2_add(_k2_xi(_k2_sub(_k2_sub(t12, bb, q), cc, q), q), aa, q)
+    r1 = _k2_add(_k2_sub(_k2_sub(t01, aa, q), bb, q), _k2_xi(cc, q), q)
+    r2 = _k2_sub(_k2_add(_k2_sub(t02, aa, q), bb, q), cc, q)
+    return [r0, r1, r2]
+
+
+def _k12_mul(a, b, q, inv):
+    """Karatsuba Fq12 product (reference: src/fields/fq12.rs:295-307)."""
+    a0, a1 = a
+    b0, b1 = b
+    aa = _k6_mul(a0, b0, q, inv)
+    bb = _k6_mul(a1, b1, q, inv)
+    cc = _k6_mul(_k6_add(a0, a1, q), _k6_add(b0, b1, q), q, inv)
+    return [
+        _k6_add(_k6_nr(bb, q), aa, q),
+        _k6_sub(_k6_sub(cc, aa, q), bb, q),
+    ]
+
+
+def _k12_sq(a, q, inv):
+    """(reference: src/fields/fq12.rs:275-282)"""
+    a0, a1 = a
+    ab = _k6_mul(a0, a1, q, inv)
+    t = _k6_mul(_k6_add(_k6_nr(a1, q), a0, q), _k6_add(a0, a1, q), q, inv)
+    return [
+        _k6_sub(_k6_sub(t, ab, q), _k6_nr(ab, q), q),
+        _k6_add(ab, ab, q),
+    ]
+
+
+def _k12_mul_by_024(a, x0, x2, x4, q, inv):
+    """Sparse line multiply (reference: src/fields/fq12.rs:107-176)."""
+    z0, z1, z2 = a[0]
+    z3, z4, z5 = a[1]
+
+    d0 = _k2_mul(z0, x0, q, inv)
+    d2 = _k2_mul(z2, x2, q, inv)
+    d4 = _k2_mul(z4, x4, q, inv)
+    t2a = _k2_add(z0, z4, q)
+    t1a = _k2_add(z0, z2, q)
+    s0 = _k2_add(_k2_add(z1, z3, q), z5, q)
+
+    # z1 * x2
+    s1 = _k2_mul(z1, x2, q, inv)
+    t3 = _k2_add(s1, d4, q)
+    t4 = _k2_xi(t3, q)
+    nz0 = _k2_add(t4, d0, q)
+
+    t3 = _k2_mul(z5, x4, q, inv)
+    s1 = _k2_add(s1, t3, q)
+    t3 = _k2_add(t3, d2, q)
+    t4 = _k2_xi(t3, q)
+    t3 = _k2_mul(z1, x0, q, inv)
+    s1 = _k2_add(s1, t3, q)
+    nz1 = _k2_add(t4, t3, q)
+
+    t0 = _k2_add(x0, x2, q)
+    t3 = _k2_sub(_k2_sub(_k2_mul(t1a, t0, q, inv), d0, q), d2, q)
+    t4 = _k2_mul(z3, x4, q, inv)
+    s1 = _k2_add(s1, t4, q)
+    nz2 = _k2_add(t3, t4, q)
+
+    t0 = _k2_add(z2, z4, q)
+    t1 = _k2_add(x2, x4, q)
+    t3 = _k2_sub(_k2_sub(_k2_mul(t0, t1, q, inv), d2, q), d4, q)
+    t4 = _k2_xi(t3, q)
+    t3 = _k2_mul(z3, x0, q, inv)
+    s1 = _k2_add(s1, t3, q)
+    nz3 = _k2_add(t4, t3, q)
+
+    t3 = _k2_mul(z5, x2, q, inv)
+    s1 = _k2_add(s1, t3, q)
+    t4 = _k2_xi(t3, q)
+    t0 = _k2_add(x0, x4, q)
+    t3 = _k2_sub(_k2_sub(_k2_mul(t2a, t0, q, inv), d0, q), d4, q)
+    nz4 = _k2_add(t4, t3, q)
+
+    t0 = _k2_add(_k2_add(x0, x2, q), x4, q)
+    t3 = _k2_mul(s0, t0, q, inv)
+    nz5 = _k2_sub(t3, s1, q)
+
+    return [[nz0, nz1, nz2], [nz3, nz4, nz5]]
+
+
+def _k12_cyclo_sq(a, q, inv):
+    """Granger-Scott cyclotomic squaring (reference: src/fields/fq12.rs:178-227)."""
+    z0, z4, z3 = a[0]
+    z2, z1, z5 = a[1]
+
+    def gs(zu, zv):
+        tmp = _k2_mul(zu, zv, q, inv)
+        big = _k2_mul(
+            _k2_add(zu, zv, q), _k2_add(_k2_xi(zv, q), zu, q), q, inv
+        )
+        t_a = _k2_sub(_k2_sub(big, tmp, q), _k2_xi(tmp, q), q)
+        t_b = _k2_add(tmp, tmp, q)
+        return t_a, t_b
+
+    t0, t1 = gs(z0, z1)
+    t2, t3 = gs(z2, z3)
+    t4, t5 = gs(z4, z5)
+
+    def m3_sub(t, z):  # 3t - 2z
+        r = _k2_sub(t, z, q)
+        r = _k2_add(r, r, q)
+        return _k2_add(r, t, q)
+
+    def m3_add(t, z):  # 3t + 2z
+        r = _k2_add(t, z, q)
+        r = _k2_add(r, r, q)
+        return _k2_add(r, t, q)
+
+    nz0 = m3_sub(t0, z0)
+    nz1 = m3_add(t1, z1)
+    nz2 = m3_add(_k2_xi(t5, q), z2)
+    nz3 = m3_sub(t4, z3)
+    nz4 = m3_sub(t2, z4)
+    nz5 = m3_add(t3, z5)
+    return [[nz0, nz4, nz3], [nz2, nz1, nz5]]
+
+
+# ---------------------------------------------------------------------------
+# ref <-> register-list loading (refs are (1, *struct, L, 1, 8, 128) blocks)
+# ---------------------------------------------------------------------------
+
+
+def _load_fq(ref, idx=()):
+    return [ref[(0,) + idx + (i, 0)] for i in range(NLIMBS)]
+
+
+def _load_fq2(ref, idx=()):
+    return [_load_fq(ref, idx + (c,)) for c in range(2)]
+
+
+def _load_fq6(ref, idx=()):
+    return [_load_fq2(ref, idx + (c,)) for c in range(3)]
+
+
+def _load_fq12(ref, idx=()):
+    return [_load_fq6(ref, idx + (c,)) for c in range(2)]
+
+
+def _store_fq(ref, v, idx=()):
+    for i in range(NLIMBS):
+        ref[(0,) + idx + (i, 0)] = v[i]
+
+
+def _store_fq2(ref, v, idx=()):
+    for c in range(2):
+        _store_fq(ref, v[c], idx + (c,))
+
+
+def _store_fq6(ref, v, idx=()):
+    for c in range(3):
+        _store_fq2(ref, v[c], idx + (c,))
+
+
+def _store_fq12(ref, v, idx=()):
+    for c in range(2):
+        _store_fq6(ref, v[c], idx + (c,))
+
+
+def _const_fq(v_limbs):
+    """A static Fq constant as per-limb uint32 scalars (broadcast in ops)."""
+    return [np.uint32(int(x)) for x in v_limbs]
+
+
+def _const_fq2(v2_limbs):
+    return [_const_fq(v2_limbs[0]), _const_fq(v2_limbs[1])]
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies
+# ---------------------------------------------------------------------------
+
+
+def _fq12_mul_body(a_ref, b_ref, o_ref, *, q, inv):
+    _store_fq12(o_ref, _k12_mul(_load_fq12(a_ref), _load_fq12(b_ref), q, inv))
+
+
+def _fq12_sq_body(a_ref, o_ref, *, q, inv):
+    _store_fq12(o_ref, _k12_sq(_load_fq12(a_ref), q, inv))
+
+
+def _fq12_cyclo_sq_body(a_ref, o_ref, *, q, inv):
+    _store_fq12(o_ref, _k12_cyclo_sq(_load_fq12(a_ref), q, inv))
+
+
+def _fq12_mul024_body(a_ref, c_ref, o_ref, *, q, inv):
+    """c_ref holds (ell_0, ell_vw, ell_vv) as a (3,2) struct."""
+    f = _load_fq12(a_ref)
+    e0 = _load_fq2(c_ref, (0,))
+    evw = _load_fq2(c_ref, (1,))
+    evv = _load_fq2(c_ref, (2,))
+    _store_fq12(o_ref, _k12_mul_by_024(f, e0, evv, evw, q, inv))
+
+
+def _miller_step_body(f_ref, c_ref, px_ref, py_ref, o_ref, *, q, inv, do_sq):
+    """One Miller-ladder step: optional f^2, scale line coeffs by the G1
+    point, sparse mul_by_024 (reference: src/groups/mod.rs:494-509)."""
+    f = _load_fq12(f_ref)
+    if do_sq:
+        f = _k12_sq(f, q, inv)
+    px = _load_fq(px_ref)
+    py = _load_fq(py_ref)
+    e0 = _load_fq2(c_ref, (0,))
+    evw = _k2_scale_fq(_load_fq2(c_ref, (1,)), py, q, inv)
+    evv = _k2_scale_fq(_load_fq2(c_ref, (2,)), px, q, inv)
+    _store_fq12(o_ref, _k12_mul_by_024(f, e0, evv, evw, q, inv))
+
+
+def _double_step_body(r_ref, o_ref, c_ref, *, q, inv, two_inv, twist_b):
+    """Miller doubling step on the running G2 point, emitting EllCoeffs
+    (reference: src/groups/mod.rs:612-634).  r is a (3,2) struct (x,y,z)."""
+    x = _load_fq2(r_ref, (0,))
+    y = _load_fq2(r_ref, (1,))
+    z = _load_fq2(r_ref, (2,))
+    ti = _const_fq(two_inv)
+    tb = _const_fq2(twist_b)
+
+    a = _k2_scale_fq(_k2_mul(x, y, q, inv), ti, q, inv)
+    b = _k2_sq(y, q, inv)
+    c = _k2_sq(z, q, inv)
+    d = _k2_small(c, 3, q)
+    e = _k2_mul(d, tb, q, inv)
+    f = _k2_small(e, 3, q)
+    g = _k2_scale_fq(_k2_add(b, f, q), ti, q, inv)
+    h = _k2_sub(_k2_sq(_k2_add(y, z, q), q, inv), _k2_add(b, c, q), q)
+    i = _k2_sub(e, b, q)
+    j = _k2_sq(x, q, inv)
+    e_sq = _k2_sq(e, q, inv)
+
+    nx = _k2_mul(a, _k2_sub(b, f, q), q, inv)
+    ny = _k2_sub(_k2_sq(g, q, inv), _k2_small(e_sq, 3, q), q)
+    nz = _k2_mul(b, h, q, inv)
+
+    _store_fq2(o_ref, nx, (0,))
+    _store_fq2(o_ref, ny, (1,))
+    _store_fq2(o_ref, nz, (2,))
+    _store_fq2(c_ref, _k2_xi(i, q), (0,))  # ell_0
+    _store_fq2(c_ref, _k2_neg(h, q), (1,))  # ell_vw
+    _store_fq2(c_ref, _k2_small(j, 3, q), (2,))  # ell_vv
+
+
+def _madd_step_body(r_ref, b_ref, o_ref, c_ref, *, q, inv):
+    """Miller mixed-addition step (reference: src/groups/mod.rs:591-610).
+    b_ref is the affine base point (2,2) struct (bx, by)."""
+    x = _load_fq2(r_ref, (0,))
+    y = _load_fq2(r_ref, (1,))
+    z = _load_fq2(r_ref, (2,))
+    bx = _load_fq2(b_ref, (0,))
+    by = _load_fq2(b_ref, (1,))
+
+    d = _k2_sub(x, _k2_mul(z, bx, q, inv), q)
+    e = _k2_sub(y, _k2_mul(z, by, q, inv), q)
+    f = _k2_sq(d, q, inv)
+    g = _k2_sq(e, q, inv)
+    h = _k2_mul(d, f, q, inv)
+    i = _k2_mul(x, f, q, inv)
+    j = _k2_sub(_k2_add(_k2_mul(z, g, q, inv), h, q), _k2_add(i, i, q), q)
+
+    nx = _k2_mul(d, j, q, inv)
+    ny = _k2_sub(_k2_mul(e, _k2_sub(i, j, q), q, inv), _k2_mul(h, y, q, inv), q)
+    nz = _k2_mul(z, h, q, inv)
+
+    ell_0 = _k2_xi(
+        _k2_sub(_k2_mul(e, bx, q, inv), _k2_mul(d, by, q, inv), q), q
+    )
+    _store_fq2(o_ref, nx, (0,))
+    _store_fq2(o_ref, ny, (1,))
+    _store_fq2(o_ref, nz, (2,))
+    _store_fq2(c_ref, ell_0, (0,))
+    _store_fq2(c_ref, d, (1,))  # ell_vw
+    _store_fq2(c_ref, _k2_neg(e, q), (2,))  # ell_vv
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+_STRUCTS = {
+    "fq": (),
+    "fq2": (2,),
+    "fq6": (3, 2),
+    "coeff": (3, 2),  # (ell_0, ell_vw, ell_vv)
+    "point": (3, 2),  # (x, y, z) over Fq2
+    "base": (2, 2),  # (bx, by) over Fq2
+    "fq12": (2, 3, 2),
+}
+
+
+def _spec(struct: tuple):
+    ns = len(struct)
+    return pl.BlockSpec(
+        (1,) + struct + (NLIMBS, 1, SUBLANES, LANES),
+        lambda i, j, _ns=ns: (i,) + (0,) * _ns + (0, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _pack(x, struct: tuple):
+    """(..., *struct, L, B) -> (lead, *struct, L, nb, 8, 128) by reshape."""
+    out_shape = x.shape
+    B = x.shape[-1]
+    pad = (-B) % BLOCK_B
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    nb = (B + pad) // BLOCK_B
+    x = x.reshape((-1,) + struct + (NLIMBS, nb, SUBLANES, LANES))
+    return x, pad, out_shape
+
+
+def _unpack(o, pad: int, out_shape):
+    B = out_shape[-1]
+    o = o.reshape(out_shape[:-1] + (B + pad,))
+    return o[..., :B] if pad else o
+
+
+@functools.lru_cache(maxsize=None)
+def _build(kind: str, q_tuple, inv: int, extra=()):
+    q = [np.uint32(v) for v in q_tuple]
+    inv = np.uint32(inv)
+    extra = dict(extra)
+
+    if kind == "fq12_mul":
+        body = functools.partial(_fq12_mul_body, q=q, inv=inv)
+        ins, outs = ["fq12", "fq12"], ["fq12"]
+    elif kind == "fq12_sq":
+        body = functools.partial(_fq12_sq_body, q=q, inv=inv)
+        ins, outs = ["fq12"], ["fq12"]
+    elif kind == "fq12_cyclo_sq":
+        body = functools.partial(_fq12_cyclo_sq_body, q=q, inv=inv)
+        ins, outs = ["fq12"], ["fq12"]
+    elif kind == "fq12_mul024":
+        body = functools.partial(_fq12_mul024_body, q=q, inv=inv)
+        ins, outs = ["fq12", "coeff"], ["fq12"]
+    elif kind in ("miller_sq_step", "miller_step"):
+        body = functools.partial(
+            _miller_step_body, q=q, inv=inv, do_sq=(kind == "miller_sq_step")
+        )
+        ins, outs = ["fq12", "coeff", "fq", "fq"], ["fq12"]
+    elif kind == "double_step":
+        body = functools.partial(
+            _double_step_body,
+            q=q,
+            inv=inv,
+            two_inv=extra["two_inv"],
+            twist_b=extra["twist_b"],
+        )
+        ins, outs = ["point"], ["point", "coeff"]
+    elif kind == "madd_step":
+        body = functools.partial(_madd_step_body, q=q, inv=inv)
+        ins, outs = ["point", "base"], ["point", "coeff"]
+    else:  # pragma: no cover
+        raise ValueError(kind)
+
+    def run(*ops):
+        lead = ops[0].shape[0]
+        nb = ops[0].shape[-3]
+        out_shape = [
+            jax.ShapeDtypeStruct(
+                (lead,) + _STRUCTS[s] + (NLIMBS, nb, SUBLANES, LANES), U32
+            )
+            for s in outs
+        ]
+        res = pl.pallas_call(
+            body,
+            out_shape=out_shape if len(outs) > 1 else out_shape[0],
+            grid=(lead, nb),
+            in_specs=[_spec(_STRUCTS[s]) for s in ins],
+            out_specs=[_spec(_STRUCTS[s]) for s in outs]
+            if len(outs) > 1
+            else _spec(_STRUCTS[outs[0]]),
+        )(*ops)
+        return res
+
+    return jax.jit(run)
+
+
+def _call(kind, ops, structs, q_limbs, inv, extra=()):
+    packed = []
+    pad = 0
+    out_shape = None
+    for x, s in zip(ops, structs):
+        xp, pad, osh = _pack(x, _STRUCTS[s])
+        packed.append(xp)
+        if out_shape is None:
+            out_shape = osh
+    run = _build(kind, tuple(int(v) for v in q_limbs), int(inv), extra)
+    return run(*packed), pad, out_shape
+
+
+# ---------------------------------------------------------------------------
+# public entry points (operate on logical (..., *struct, L, B) tensors)
+# ---------------------------------------------------------------------------
+
+
+def fq12_mul(a, b, q_limbs, inv):
+    out_shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, out_shape)
+    b = jnp.broadcast_to(b, out_shape)
+    o, pad, osh = _call("fq12_mul", (a, b), ("fq12", "fq12"), q_limbs, inv)
+    return _unpack(o, pad, osh)
+
+
+def fq12_sq(a, q_limbs, inv):
+    o, pad, osh = _call("fq12_sq", (a,), ("fq12",), q_limbs, inv)
+    return _unpack(o, pad, osh)
+
+
+def fq12_cyclo_sq(a, q_limbs, inv):
+    o, pad, osh = _call("fq12_cyclo_sq", (a,), ("fq12",), q_limbs, inv)
+    return _unpack(o, pad, osh)
+
+
+def fq12_mul024(f, coeff, q_limbs, inv):
+    """coeff: (..., 3, 2, L, B) = (ell_0, ell_vw, ell_vv) already scaled."""
+    o, pad, osh = _call(
+        "fq12_mul024", (f, coeff), ("fq12", "coeff"), q_limbs, inv
+    )
+    return _unpack(o, pad, osh)
+
+
+def miller_step(f, coeff, px, py, q_limbs, inv, do_sq: bool):
+    """Fused Miller-ladder step: optional squaring + G1-scaled line multiply."""
+    kind = "miller_sq_step" if do_sq else "miller_step"
+    o, pad, osh = _call(
+        kind, (f, coeff, px, py), ("fq12", "coeff", "fq", "fq"), q_limbs, inv
+    )
+    return _unpack(o, pad, osh)
+
+
+def double_step(r, q_limbs, inv, two_inv, twist_b):
+    """r: (..., 3, 2, L, B) Jacobian-projective G2 point -> (r', coeffs).
+
+    two_inv: L-tuple Montgomery limbs; twist_b: 2xL-tuple (Fq2)."""
+    extra = (("two_inv", tuple(two_inv)), ("twist_b", (tuple(twist_b[0]), tuple(twist_b[1]))))
+    (ro, co), pad, osh = _call("double_step", (r,), ("point",), q_limbs, inv, extra)
+    return _unpack(ro, pad, osh), _unpack(co, pad, osh)
+
+
+def madd_step(r, base, q_limbs, inv):
+    """Mixed-addition step: r (3,2 struct), base (2,2 struct) -> (r', coeffs)."""
+    (ro, co), pad, osh = _call(
+        "madd_step", (r, base), ("point", "base"), q_limbs, inv
+    )
+    co_shape = osh  # same (..., 3, 2, L, B) struct as r
+    return _unpack(ro, pad, osh), _unpack(co, pad, co_shape)
