@@ -35,7 +35,7 @@ def main():
 
     from bn_tpu import curve, oracle as O, params as P
     from bn_tpu.fields import fp, tower
-    from bn_tpu.pairing import pairing_batch
+    from bn_tpu.ate import pairing_batch
 
     on_tpu = jax.default_backend() == "tpu"
     B = int(os.environ.get("BN_BENCH_BATCH", 8192 if on_tpu else 32))

@@ -50,9 +50,7 @@ def main():
     from bn_tpu import curve, oracle as O, params as P
     from bn_tpu.fields import fp, tower
 
-    # bn_tpu.__init__ rebinds the attribute `pairing` to the api function, so
-    # fetch the submodule explicitly.
-    PR = importlib.import_module("bn_tpu.pairing")
+    PR = importlib.import_module("bn_tpu.ate")
 
     on_tpu = jax.default_backend() == "tpu"
     B = args.batch or (8192 if on_tpu else 32)

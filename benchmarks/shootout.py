@@ -26,7 +26,7 @@ def main(n: int):
 
     from bn_tpu import curve, params as P
     from bn_tpu.fields import fp, tower
-    from bn_tpu.pairing import pairing_batch
+    from bn_tpu.ate import pairing_batch
     from bn_tpu.parallel.dist import fq12_fold_product
 
     c = pow(1901, -1, P.R_SCALAR)

@@ -23,7 +23,7 @@ def main():
 
     from bn_tpu import curve, oracle as O
     from bn_tpu.fields import tower
-    from bn_tpu.pairing import pairing_batch
+    from bn_tpu.ate import pairing_batch
 
     B = 8
     ks1 = [100 + k for k in range(B)]

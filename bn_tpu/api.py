@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from bn_tpu import curve, oracle as O, pairing as _pairing_mod, params as P
+from bn_tpu import ate as _pairing_mod, curve, oracle as O, params as P
 from bn_tpu import serialization as _ser
 from bn_tpu.fields import fp, tower
 

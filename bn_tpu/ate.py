@@ -120,22 +120,34 @@ def precompute(q_affine):
     batch_shape = bx.shape[:-3] + bx.shape[-1:]
     r0 = (bx, by, tower.ones2(batch_shape))
 
-    def body(r, is_add):
+    # The final two slots add the Frobenius-twisted points q1 and -q2
+    # (reference: src/groups/mod.rs:578-582).  Rather than instantiating two
+    # extra inline addition steps (which triples the traced-program size of
+    # the addition formula), the scan gathers its base point per step from a
+    # 3-slot stack: index 0 = Q for the ladder, 1 = q1, 2 = -q2.
+    q1 = _mul_by_q((bx, by))
+    q2_ = _mul_by_q(q1)
+    q2 = (q2_[0], tower.neg(q2_[1]))
+    bases = jnp.stack(
+        [jnp.stack([bx, by]), jnp.stack(q1), jnp.stack(q2)]
+    )  # (3, 2, 2, L, B)
+    base_idx = np.zeros(len(flags), dtype=np.int32)
+    base_idx[-2], base_idx[-1] = 1, 2
+
+    def body(r, xs):
+        is_add, idx = xs
+        bsel = jnp.take(bases, idx, axis=0)
         return jax.lax.cond(
             is_add != 0,
-            lambda rr: _mixed_addition_step(rr, (bx, by)),
+            lambda rr: _mixed_addition_step(rr, (bsel[0], bsel[1])),
             _doubling_step,
             r,
         )
 
-    r, coeffs_ladder = jax.lax.scan(body, r0, jnp.asarray(flags[:-2]))
-
-    q1 = _mul_by_q((bx, by))
-    q2_ = _mul_by_q(q1)
-    q2 = (q2_[0], tower.neg(q2_[1]))
-    r, c_q1 = _mixed_addition_step(r, q1)
-    r, c_q2 = _mixed_addition_step(r, q2)
-    return jnp.concatenate([coeffs_ladder, c_q1[None], c_q2[None]], axis=0)
+    r, coeffs = jax.lax.scan(
+        body, r0, (jnp.asarray(flags), jnp.asarray(base_idx))
+    )
+    return coeffs
 
 
 def miller_loop(coeffs, p_affine):

@@ -176,11 +176,16 @@ def pow_fixed(spec: FpSpec, a, e: int):
     if e == 0:
         return ones(spec, a.shape[:-2] + a.shape[-1:])
     digits = _digit_schedule(e)
-    # table[k] = a^k, table[0] = one
-    table = [ones(spec, a.shape[:-2] + a.shape[-1:]), a]
-    for k in range(2, 2**_WINDOW):
-        table.append(mul(spec, table[k - 1], a))
-    table = jnp.stack(table)  # (16, ..., L, B)
+    one = ones(spec, a.shape[:-2] + a.shape[-1:])
+
+    # table[k] = a^k, table[0] = one; built under a scan so the traced
+    # program holds ONE multiply instead of 14 (compile-time, not runtime)
+    def _tstep(prev, _):
+        nxt = mul(spec, prev, a)
+        return nxt, nxt
+
+    _, tail = jax.lax.scan(_tstep, one, None, length=2**_WINDOW - 1)
+    table = jnp.concatenate([one[None], tail], axis=0)  # (16, ..., L, B)
 
     res = table[digits[0]]
 
@@ -201,17 +206,11 @@ def inv(spec: FpSpec, a):
     """Multiplicative inverse by Fermat: a^(m-2).  Maps 0 -> 0.
 
     Replaces the reference's per-element binary EEA (src/arith.rs:281-327),
-    which is divergent and TPU-hostile (SURVEY.md §7).
+    which is divergent and TPU-hostile (SURVEY.md §7).  Montgomery batch
+    inversion is intentionally not used: one Fermat chain is fully parallel
+    across the batch, while the Montgomery trick serializes across it.
     """
     return pow_fixed(spec, a, spec.modulus - 2)
-
-
-def batch_inv(spec: FpSpec, a, axis: int = -1):
-    """Montgomery batch inversion along the batch axis is intentionally NOT
-    used by default: a single Fermat chain is fully parallel across the batch,
-    while the Montgomery trick serializes across it.  Kept as future work for
-    latency-sensitive small batches."""
-    return inv(spec, a)
 
 
 # ---------------------------------------------------------------------------

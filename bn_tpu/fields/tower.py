@@ -519,40 +519,172 @@ def fq12_exp_by_neg_z(a):
     return fq12_conj(fq12_cyclotomic_pow_z(a))
 
 
+# ---------------------------------------------------------------------------
+# final exponentiation (reference: src/fields/fq12.rs:41-88)
+#
+# The easy chunk + Fuentes-et-al. hard chunk is a ~300-step straight-line
+# program over Fq12 built from four op kinds (mul, cyclotomic square,
+# Frobenius, conjugate).  Tracing it inline instantiates each op's full limb
+# expansion per use (~280k HLO lines — the dominant compile cost of the whole
+# pairing).  Instead the chain is assembled host-side into a static
+# instruction tape and executed as a lax.scan over a small register file, so
+# every op kind compiles exactly ONCE.  The math (and hence the golden
+# vectors) is identical to the reference's a..v chain.
+# ---------------------------------------------------------------------------
+
+_OP_MUL, _OP_CYCLO, _OP_FROB, _OP_CONJ = 0, 1, 2, 3
+
+
+@functools.lru_cache(maxsize=None)
+def _final_exp_tape():
+    """Assemble the final-exp tape and linear-scan register allocation.
+
+    Returns (op, dst, s1, s2, aux) int32 arrays plus (n_regs, out_reg).
+    SSA inputs: 0 = f (the Miller output), 1 = f^-1.
+    """
+    ops = []  # (kind, dst_ssa, src1_ssa, src2_ssa, aux_power)
+    counter = [2]
+
+    def emit(kind, s1, s2=0, aux=0):
+        d = counter[0]
+        counter[0] += 1
+        ops.append((kind, d, s1, s2, aux))
+        return d
+
+    f_in, b_in = 0, 1
+    # easy chunk (reference: fq12.rs:41-52)
+    a = emit(_OP_CONJ, f_in)
+    c = emit(_OP_MUL, a, b_in)
+    d = emit(_OP_FROB, c, aux=2)
+    s = emit(_OP_MUL, d, c)
+
+    def expz(x):
+        """exp_by_neg_z = cyclotomic_pow(z) then conjugate
+        (reference: fq12.rs:97-101, 229-246)."""
+        res = x
+        for bit in P.bits_msb_first(P.Z_BN)[1:]:
+            res = emit(_OP_CYCLO, res)
+            if bit:
+                res = emit(_OP_MUL, res, x)
+        return emit(_OP_CONJ, res)
+
+    # hard chunk: the reference's a..v chain (fq12.rs:54-84)
+    a2 = expz(s)
+    b2 = emit(_OP_CYCLO, a2)
+    c2 = emit(_OP_CYCLO, b2)
+    d2 = emit(_OP_MUL, c2, b2)
+    e2 = expz(d2)
+    f2 = emit(_OP_CYCLO, e2)
+    g2 = expz(f2)
+    h2 = emit(_OP_CONJ, d2)
+    i2 = emit(_OP_CONJ, g2)
+    j2 = emit(_OP_MUL, i2, e2)
+    k2 = emit(_OP_MUL, j2, h2)
+    l2 = emit(_OP_MUL, k2, b2)
+    m2 = emit(_OP_MUL, k2, e2)
+    n2 = emit(_OP_MUL, s, m2)
+    o2 = emit(_OP_FROB, l2, aux=1)
+    p2 = emit(_OP_MUL, o2, n2)
+    q2 = emit(_OP_FROB, k2, aux=2)
+    r2 = emit(_OP_MUL, q2, p2)
+    s2_ = emit(_OP_CONJ, s)
+    t2 = emit(_OP_MUL, s2_, l2)
+    u2 = emit(_OP_FROB, t2, aux=3)
+    v2 = emit(_OP_MUL, u2, r2)
+
+    # linear-scan register allocation over SSA ids
+    last_use = {f_in: -1, b_in: -1}
+    for i, (_, dst, s1, s2, _aux) in enumerate(ops):
+        last_use[s1] = i
+        last_use[s2] = i
+        last_use.setdefault(dst, i)  # dead dsts freed immediately
+    last_use[v2] = len(ops)  # output stays live
+
+    reg_of = {f_in: 0, b_in: 1}
+    free: list = []
+    n_regs = 2
+    tape = []
+    for i, (kind, dst, s1, s2, aux) in enumerate(ops):
+        r1, r2r = reg_of[s1], reg_of[s2] if s2 in reg_of else 0
+        # free sources whose last use is this instruction (allows dst reuse)
+        for src in {s1, s2} & set(reg_of):
+            if last_use.get(src) == i and src != dst:
+                free.append(reg_of.pop(src))
+        if free:
+            rd = free.pop()
+        else:
+            rd = n_regs
+            n_regs += 1
+        reg_of[dst] = rd
+        tape.append((kind, rd, r1, r2r, aux))
+
+    arr = np.asarray(tape, dtype=np.int32)
+    return arr, n_regs, reg_of[v2]
+
+
+@functools.lru_cache(maxsize=None)
+def _frob_mult_stack():
+    """Per-power Fq2 multiplier tensors M with M[i][j] = the gamma constant
+    that Frobenius applies to coefficient (i, j) of an Fq12, so that
+    frob_p(a) = fq2_mul(conj^p(a), M[p]).  Stacked over powers 0..3:
+    (4, 2, 3, 2, L, 1) Montgomery-form numpy."""
+    out = []
+    for p in range(4):
+        g6c1, g6c2, g12 = (t[p] for t in O.frob_coeffs())
+        row0 = [(1, 0), g6c1, g6c2]
+        row1 = [g12, O.fq2_mul(g6c1, g12), O.fq2_mul(g6c2, g12)]
+        out.append(
+            np.stack(
+                [
+                    np.stack([_fq2_const(v) for v in row0]),
+                    np.stack([_fq2_const(v) for v in row1]),
+                ]
+            )
+        )
+    return np.stack(out)
+
+
+def _conj_components(a):
+    """Apply the Fq2 conjugate to every Fq2 coefficient of a tower tensor
+    (the coefficient action of an odd-power Frobenius)."""
+    c0 = a[..., 0:1, :, :]
+    c1 = fp.neg(FQ, a[..., 1:2, :, :])
+    return jnp.concatenate([c0, c1], axis=-3)
+
+
+def fq12_frob_traced(a, power):
+    """fq12_frob for a TRACED power in {0..3}: one gather + one fq2_mul."""
+    m = jnp.take(jnp.asarray(_frob_mult_stack(), jnp.uint32), power, axis=0)
+    a_ = jnp.where((power % 2) == 1, _conj_components(a), a)
+    return fq2_mul(a_, jnp.broadcast_to(m, a.shape))
+
+
 def final_exponentiation(f):
     """Easy chunk + Fuentes-et-al. hard chunk
-    (reference: src/fields/fq12.rs:41-88)."""
-    # easy: f -> conj(f) * f^-1, then * frob^2 of that
-    b = fq12_inv(f)
-    a = fq12_conj(f)
-    c = fq12_mul(a, b)
-    d = fq12_frob(c, 2)
-    s = fq12_mul(d, c)
+    (reference: src/fields/fq12.rs:41-88), executed as a static-tape VM."""
+    tape, n_regs, out_reg = _final_exp_tape()
+    binv = fq12_inv(f)
+    zero = zeros12(f.shape[:-5] + f.shape[-1:])
+    regs = jnp.stack([f, binv] + [zero] * (n_regs - 2))
 
-    # hard
-    a = fq12_exp_by_neg_z(s)
-    b = fq12_cyclotomic_sq(a)
-    c = fq12_cyclotomic_sq(b)
-    d = fq12_mul(c, b)
-    e = fq12_exp_by_neg_z(d)
-    f2 = fq12_cyclotomic_sq(e)
-    g = fq12_exp_by_neg_z(f2)
-    h = fq12_conj(d)
-    i = fq12_conj(g)
-    j = fq12_mul(i, e)
-    k = fq12_mul(j, h)
-    l = fq12_mul(k, b)
-    m = fq12_mul(k, e)
-    n = fq12_mul(s, m)
-    o = fq12_frob(l, 1)
-    p = fq12_mul(o, n)
-    q = fq12_frob(k, 2)
-    r = fq12_mul(q, p)
-    s2 = fq12_conj(s)
-    t = fq12_mul(s2, l)
-    u = fq12_frob(t, 3)
-    v = fq12_mul(u, r)
-    return v
+    def body(regs, ins):
+        kind, dst, s1, s2, aux = ins
+        x = jnp.take(regs, s1, axis=0)
+        y = jnp.take(regs, s2, axis=0)
+        val = jax.lax.switch(
+            kind,
+            [
+                lambda: fq12_mul(x, y),
+                lambda: fq12_cyclotomic_sq(x),
+                lambda: fq12_frob_traced(x, aux),
+                lambda: fq12_conj(x),
+            ],
+        )
+        regs = jax.lax.dynamic_update_index_in_dim(regs, val, dst, axis=0)
+        return regs, None
+
+    regs, _ = jax.lax.scan(body, regs, jnp.asarray(tape))
+    return regs[out_reg]
 
 
 def fq12_pow_fr(a, scalar_bits):

@@ -62,6 +62,13 @@ def fq_inv(a):
     return inv_mod(a, Q)
 
 
+def fq_sqrt(a):
+    """Square root in Fq or None (q = 3 mod 4, so a^((q+1)/4) works)."""
+    a %= Q
+    r = pow(a, (Q + 1) // 4, Q)
+    return r if r * r % Q == a else None
+
+
 # ---------------------------------------------------------------------------
 # Fq2 = Fq[u]/(u^2 + 1)   (reference: src/fields/fq2.rs)
 # ---------------------------------------------------------------------------
@@ -128,6 +135,33 @@ def fq2_pow(a, e):
 
 def fq2_is_zero(a):
     return a[0] == 0 and a[1] == 0
+
+
+def fq2_sqrt(a):
+    """Square root in Fq2 = Fq[u]/(u^2+1) via the complex method, or None.
+
+    For a = a0 + a1*u: norm(a) = a0^2 + a1^2 must be a square in Fq; with
+    s = sqrt(norm), y0^2 = (a0 + s)/2 (or (a0 - s)/2), y1 = a1 / (2 y0)."""
+    a0, a1 = a[0] % Q, a[1] % Q
+    if a1 == 0:
+        r = fq_sqrt(a0)
+        if r is not None:
+            return (r, 0)
+        r = fq_sqrt((-a0) % Q)  # a0 = -(r^2) => (r*u)^2 = a0
+        return None if r is None else (0, r)
+    s = fq_sqrt((a0 * a0 + a1 * a1) % Q)
+    if s is None:
+        return None
+    inv2 = (Q + 1) // 2
+    t = (a0 + s) * inv2 % Q
+    y0 = fq_sqrt(t)
+    if y0 is None:
+        y0 = fq_sqrt((a0 - s) * inv2 % Q)
+        if y0 is None:
+            return None
+    y1 = a1 * inv_mod(2 * y0 % Q, Q) % Q
+    y = (y0, y1)
+    return y if fq2_sq(y) == (a0, a1) else None
 
 
 # ---------------------------------------------------------------------------
@@ -652,10 +686,13 @@ def g2_on_curve(a):
 
 
 def g2_in_subgroup(a):
-    """Full-order subgroup check, as the reference does on G2 decode
-    (reference: src/groups/mod.rs:186-195)."""
+    """Full-order subgroup check, as the reference does on G2 decode:
+    p * Fr(-1) + p == 0 (reference: src/groups/mod.rs:186-195).  NB the
+    scalar must be r-1 then one more add — g_mul reduces k mod r, so a
+    direct g_mul(p, r) would be multiplication by zero (a vacuous check)."""
     p = g_from_affine(FQ2_OPS, a)
-    return g_eq(FQ2_OPS, g2_mul(p, R_SCALAR), g_zero(FQ2_OPS))
+    r_minus_one_p = g2_mul(p, R_SCALAR - 1)
+    return g_is_zero(FQ2_OPS, g_add(FQ2_OPS, r_minus_one_p, p))
 
 
 # ---------------------------------------------------------------------------

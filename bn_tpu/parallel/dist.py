@@ -38,7 +38,7 @@ except ImportError:  # pragma: no cover
 
 from bn_tpu import curve
 from bn_tpu.fields import tower
-from bn_tpu.pairing import pairing_batch
+from bn_tpu.ate import pairing_batch
 
 DATA_AXIS = "data"
 
@@ -71,41 +71,74 @@ def shard_point(mesh: Mesh, point):
 # ---------------------------------------------------------------------------
 
 
-def fq12_fold_product(a):
-    """Product of a batch of Fq12 along the trailing axis via log-depth
-    pairwise folding; returns batch-1 tensor."""
+def _fold_strides(width: int) -> np.ndarray:
+    s, out = width // 2, []
+    while s >= 1:
+        out.append(s)
+        s //= 2
+    return np.asarray(out, dtype=np.int32)
+
+
+def fq12_fold_product(a, width: int = 1024):
+    """Product of a batch of Fq12 along the trailing axis; returns batch-1.
+
+    Two scans keep the traced program at TWO fq12_mul instantiations
+    regardless of batch size (compile-time critical for the CPU-mesh dryrun):
+      1. reshape to (G, W) rows and scan-accumulate the G rows (total work B);
+      2. log-fold the remaining W lanes with a roll-by-stride scan
+         (slot 0 ends up holding the full product)."""
     b = a.shape[-1]
-    # pad to a power of two with Montgomery ones
     p2 = 1 << (b - 1).bit_length()
     if p2 != b:
         ones = tower.ones12(a.shape[:-6] + (p2 - b,))
         a = jnp.concatenate([a, ones], axis=-1)
-        b = p2
-    while b > 1:
-        h = b // 2
-        a = tower.fq12_mul(a[..., :h], a[..., h:])
-        b = h
-    return a
+    w = min(p2, width)
+    g = p2 // w
+    rows = jnp.moveaxis(a.reshape(a.shape[:-1] + (g, w)), -2, 0)
+
+    def acc(carry, row):
+        return tower.fq12_mul(carry, row), None
+
+    x, _ = jax.lax.scan(acc, tower.ones12(a.shape[:-6] + (w,)), rows)
+    if w == 1:
+        return x
+
+    def fold(y, s):
+        return tower.fq12_mul(y, jnp.roll(y, -s, axis=-1)), None
+
+    x, _ = jax.lax.scan(fold, x, jnp.asarray(_fold_strides(w)))
+    return x[..., :1]
 
 
-def point_fold_sum(spec, p):
-    """Sum of a batch of Jacobian points along the trailing axis via
-    log-depth pairwise folding; returns a batch-1 point."""
+def point_fold_sum(spec, p, width: int = 1024):
+    """Sum of a batch of Jacobian points along the trailing axis; returns a
+    batch-1 point.  Same two-scan structure as fq12_fold_product (TWO
+    curve.add instantiations in the traced program)."""
     b = p[0].shape[-1]
     p2 = 1 << (b - 1).bit_length()
+    lead = p[0].shape[: -2 - spec.field.struct_ndim]
     if p2 != b:
-        inf = curve.zero(spec, p[0].shape[:- 2 - spec.field.struct_ndim] + (p2 - b,))
+        inf = curve.zero(spec, lead + (p2 - b,))
         p = tuple(jnp.concatenate([c, i], axis=-1) for c, i in zip(p, inf))
-        b = p2
-    while b > 1:
-        h = b // 2
-        p = curve.add(
-            spec,
-            tuple(c[..., :h] for c in p),
-            tuple(c[..., h:] for c in p),
-        )
-        b = h
-    return p
+    w = min(p2, width)
+    g = p2 // w
+    rows = tuple(
+        jnp.moveaxis(c.reshape(c.shape[:-1] + (g, w)), -2, 0) for c in p
+    )
+
+    def acc(carry, row):
+        return curve.add(spec, carry, row), None
+
+    x, _ = jax.lax.scan(acc, curve.zero(spec, lead + (w,)), rows)
+    if w == 1:
+        return x
+
+    def fold(y, s):
+        rolled = tuple(jnp.roll(c, -s, axis=-1) for c in y)
+        return curve.add(spec, y, rolled), None
+
+    x, _ = jax.lax.scan(fold, x, jnp.asarray(_fold_strides(w)))
+    return tuple(c[..., :1] for c in x)
 
 
 # ---------------------------------------------------------------------------
@@ -124,29 +157,27 @@ def sharded_pairing(mesh: Mesh, p, q):
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_pairing_product_fn(mesh: Mesh, pdim: tuple, qdim: tuple):
-    def local(p, q):
-        gt = pairing_batch(p, q)
-        local_prod = fq12_fold_product(gt)  # (..., 1) per device
-        gathered = jax.lax.all_gather(local_prod, DATA_AXIS, axis=len(gt.shape) - 1, tiled=True)
+def _sharded_fold_fn(mesh: Mesh):
+    """Tiny shard_map program: per-device Gt partial product, all_gather of
+    the n_dev partials over ICI, replicated final fold.  Kept separate from
+    the pairing pjit so the huge pairing program is compiled exactly once in
+    its data-parallel form (a single shard_map closure wrapping pairing+fold
+    made XLA:CPU compile times blow past the driver budget in rounds 1-2)."""
+
+    def local(gt):
+        part = fq12_fold_product(gt)  # (..., 1) per device
+        gathered = jax.lax.all_gather(part, DATA_AXIS, axis=4, tiled=True)
         return fq12_fold_product(gathered)
 
-    in_specs = (
-        tuple(batch_spec(n) for n in pdim),
-        tuple(batch_spec(n) for n in qdim),
-    )
-    # every device returns the full product (replicated)
-    out_specs = PS(*([None] * 5))
     return jax.jit(
         shard_map(
             local,
             mesh,
-            in_specs=in_specs,
-            out_specs=out_specs,
-            # the pairing scans carry constants (Montgomery ones for z0/f0)
-            # that start unvarying while the point inputs vary over the mesh;
-            # vma typing rejects that mix even though the math is shard-local
-            # (same rationale as _sharded_msm_fn below).
+            in_specs=batch_spec(5),
+            # every device returns the full product (replicated)
+            out_specs=PS(*([None] * 5)),
+            # the fold's Montgomery-one padding is mesh-unvarying while gt
+            # varies; vma typing rejects the mix though the math is local
             check_vma=False,
         )
     )
@@ -241,11 +272,9 @@ def sharded_pairing_product(mesh: Mesh, p, q):
     mesh, pair locally, reduce the Gt product across devices over ICI.
 
     Mirrors the shootout workload's accumulation (shootout/main.rs:5-29) at
-    pod scale; the cross-device reduction is an all_gather + log-fold (Fq12
-    products commute)."""
-    p = shard_point(mesh, p)
-    q = shard_point(mesh, q)
-    fn = _sharded_pairing_product_fn(
-        mesh, tuple(c.ndim for c in p), tuple(c.ndim for c in q)
-    )
-    return fn(p, q)
+    pod scale.  Two programs: (1) the data-parallel batched pairing under
+    pjit (XLA partitions it; zero collectives), (2) a tiny shard_map doing
+    per-device partial products + an all_gather + replicated fold."""
+    gt = sharded_pairing(mesh, p, q)
+    with mesh:
+        return _sharded_fold_fn(mesh)(gt)

@@ -11,7 +11,7 @@ import pytest
 from bn_tpu import curve, oracle as O, params as P
 from bn_tpu.fields import tower
 from bn_tpu.parallel import dist
-from bn_tpu.pairing import pairing_batch
+from bn_tpu.ate import pairing_batch
 
 
 @pytest.fixture(scope="module")

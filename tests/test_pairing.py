@@ -8,7 +8,7 @@ import jax
 import numpy as np
 import pytest
 
-from bn_tpu import curve, oracle as O, pairing as PRG, params as P
+from bn_tpu import ate as PRG, curve, oracle as O, params as P
 from bn_tpu.fields import fp, tower as T
 
 S1 = 18097487326282793650237947474982649264364522469319914492172746413872781676

@@ -70,30 +70,29 @@ def test_g1_rejects():
 
 
 def test_g2_rejects_off_curve_and_out_of_subgroup():
-    # on-curve but out-of-subgroup G2 point: find one by cofactor logic —
-    # take a point on E'(Fq2) from hashing x candidates
-    def sqrt_fq2(a):
-        # exponent sqrt for p^2 ≡ 9 mod 16? use generic Tonelli via pow in Fq2
-        # cheap trick: try s = a^((q^2+7)/16)... instead use random search on x
-        return None
-
+    """The consensus-critical G2 check_order path (reference:
+    src/groups/mod.rs:186-195, 399): an on-curve E'(Fq2) point outside the
+    r-order subgroup must be rejected on decode."""
+    # Hensel-style point search: walk x candidates, solve y^2 = x^3 + b' with
+    # a real Fq2 square root (norm/complex method). E'(Fq2) has order r * c2
+    # with cofactor c2 = 2q - r > 1, so a generic curve point is out of the
+    # subgroup with overwhelming probability.
     found = None
-    x = (1, 0)
-    while found is None:
+    for i in range(1, 200):
+        x = (i, 1)
         rhs = O.fq2_add(O.fq2_mul(O.fq2_sq(x), x), O.twist_b())
-        # try to find y with y^2 = rhs via Fq2 exponentiation: q^2 ≡ 1 mod 4,
-        # use y = rhs^((q^2+3)/8)? Simplest: Cipolla-free check via norm map.
-        e = (P.Q * P.Q + 7) // 8  # may fail; verify below
-        y = O.fq2_pow(rhs, e)
-        if O.fq2_sq(y) == rhs:
+        y = O.fq2_sqrt(rhs)
+        if y is None:
+            continue
+        assert O.fq2_sq(y) == rhs
+        if not O.g2_in_subgroup((x, y)):
             found = (x, y)
-        else:
-            x = (x[0] + 1, 0)
+            break
+    assert found is not None, "no out-of-subgroup point found in 200 candidates"
     x, y = found
     assert O.g2_on_curve((x, y))
-    if not O.g2_in_subgroup((x, y)):
-        with pytest.raises(S.DecodeError):
-            S.decode_g2(bytes([4]) + S.encode_fq2(x) + S.encode_fq2(y))
+    with pytest.raises(S.DecodeError):
+        S.decode_g2(bytes([4]) + S.encode_fq2(x) + S.encode_fq2(y))
     # off-curve reject
     with pytest.raises(S.DecodeError):
         S.decode_g2(bytes([4]) + S.encode_fq2((0, 0)) + S.encode_fq2((1, 1)))
