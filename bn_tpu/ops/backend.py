@@ -3,7 +3,9 @@
 The jnp path (bn_tpu.ops.limbs.mont_mul_jnp) runs on any backend and is the
 semantic reference; the Pallas path (bn_tpu.ops.mont_pallas) is the fused TPU
 kernel.  Default: Pallas on TPU, jnp elsewhere.  Override with
-set_backend('jnp'|'pallas') or BN_TPU_BACKEND env var.
+set_backend('jnp'|'pallas'|'pallas-interpret') or BN_TPU_BACKEND env var.
+'pallas-interpret' runs every Pallas kernel through the interpreter
+(pallas_call(interpret=True)) so kernel formulas are testable off-hardware.
 """
 
 from __future__ import annotations
@@ -12,10 +14,12 @@ import os
 
 _BACKEND = None  # resolved lazily
 
+_VALID = ("jnp", "pallas", "pallas-interpret")
+
 
 def _default_backend() -> str:
     env = os.environ.get("BN_TPU_BACKEND")
-    if env in ("jnp", "pallas"):
+    if env in _VALID:
         return env
     try:
         import jax
@@ -29,7 +33,7 @@ def _default_backend() -> str:
 
 def set_backend(name: str) -> None:
     global _BACKEND
-    assert name in ("jnp", "pallas"), name
+    assert name in _VALID, name
     _BACKEND = name
 
 
@@ -41,7 +45,7 @@ def get_backend() -> str:
 
 
 def get_mont_mul():
-    if get_backend() == "pallas":
+    if use_pallas():
         from bn_tpu.ops.mont_pallas import mont_mul_pallas
 
         return mont_mul_pallas
@@ -53,4 +57,9 @@ def get_mont_mul():
 def use_pallas() -> bool:
     """True when the fused TPU kernels (mont mul, modular add/sub/neg,
     Karatsuba fq2 mul) should be used instead of the jnp reference path."""
-    return get_backend() == "pallas"
+    return get_backend() in ("pallas", "pallas-interpret")
+
+
+def interpret_mode() -> bool:
+    """True when Pallas kernels should run under the interpreter (CPU)."""
+    return get_backend() == "pallas-interpret"

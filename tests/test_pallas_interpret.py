@@ -1,0 +1,362 @@
+"""Off-hardware coverage of the Pallas kernels (VERDICT r2 item 4).
+
+Two tiers:
+
+1. KERNEL-BODY tests (always run, fast): every kernel body in
+   ops/mont_pallas.py and ops/tower_pallas.py is executed directly as the
+   pure-jnp register algebra it is — refs emulated by tiny shims — and
+   compared bit-exactly against the jnp reference path.  This covers all
+   the formula/fusion logic (incl. the fused Miller-ladder step kernels)
+   without TPU hardware.
+
+2. INTERPRET tests: pallas_call(interpret=True) through the real
+   BlockSpec/grid/pack plumbing.  The interpreter costs ~45s compile per
+   kernel on CPU (cached across runs), so only one kernel of each wrapper
+   shape runs by default; set BN_SLOW_TESTS=1 to interpret every fused
+   tower kernel as well.
+
+Mosaic codegen itself is only checkable on hardware; that path is gated by
+bench.py's oracle check and benchmarks/tpu_verify.py.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bn_tpu import oracle as O, params as P
+from bn_tpu.fields import fp, tower
+from bn_tpu.ops import backend
+from bn_tpu.ops import mont_pallas as mp
+from bn_tpu.ops import tower_pallas as twp
+from bn_tpu.params import NLIMBS
+
+SLOW = bool(os.environ.get("BN_SLOW_TESTS"))
+B = mp.BLOCK_B  # one full (8, 128) tile batch
+RNG = np.random.default_rng(1234)
+
+Q_CONST = [np.uint32(int(v)) for v in fp.FQ.m_limbs]
+INV_CONST = np.uint32(int(fp.FQ.inv))
+
+
+def _rand_fq_ints(n):
+    return [int.from_bytes(RNG.bytes(40), "big") % P.Q for _ in range(n)]
+
+
+def _fq(n=B):
+    return fp.to_device(fp.FQ, _rand_fq_ints(n))
+
+
+def _fq2(n=B):
+    return tower.fq2_to_device(list(zip(_rand_fq_ints(n), _rand_fq_ints(n))))
+
+
+def _fq12(n=B):
+    vals = [
+        tuple(
+            tuple(
+                (r1, r2)
+                for r1, r2 in zip(_rand_fq_ints(3), _rand_fq_ints(3))
+            )
+            for _ in range(2)
+        )
+        for _ in range(n)
+    ]
+    return tower.fq12_to_device(vals)
+
+
+# ---------------------------------------------------------------------------
+# tier 1: kernel bodies on ref shims
+# ---------------------------------------------------------------------------
+
+
+class _InRef:
+    """Read-only view shaped like a kernel block (leading 1, trailing 1,8,128)."""
+
+    def __init__(self, arr):
+        self.arr = arr
+
+    def __getitem__(self, k):
+        return self.arr[k]
+
+
+class _OutRef:
+    def __init__(self):
+        self.vals = {}
+
+    def __setitem__(self, k, v):
+        self.vals[k] = v
+
+
+def _pack_block(x, struct):
+    """(..., *struct, L, B) with B == BLOCK_B -> (1, *struct, L, 1, 8, 128)."""
+    return jnp.asarray(x).reshape((1,) + struct + (NLIMBS, 1, 8, 128))
+
+
+def _unpack_out(out, struct, batch=B):
+    """Reassemble an _OutRef written via the _store_* helpers."""
+    shape = struct + (NLIMBS,)
+    arr = np.zeros(shape + (8, 128), dtype=np.uint32)
+    for k, v in out.vals.items():
+        # keys are (0, *struct_idx, limb, 0)
+        arr[k[1:-1]] = np.asarray(v)
+    return jnp.asarray(arr.reshape(struct + (NLIMBS, batch)))
+
+
+def _eq(a, b):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_body_mont_mul_add_sub_neg():
+    a, b = _fq(), _fq()
+    at = [_pack_block(a, ())[0, i, 0] for i in range(NLIMBS)]
+    bt = [_pack_block(b, ())[0, i, 0] for i in range(NLIMBS)]
+
+    def untile(ts):
+        return jnp.stack([t.reshape(B) for t in ts])
+
+    _eq(untile(mp._k_mont_mul(at, bt, Q_CONST, INV_CONST)), fp.mul(fp.FQ, a, b))
+    _eq(untile(mp._k_add(at, bt, Q_CONST)), fp.add(fp.FQ, a, b))
+    _eq(untile(mp._k_sub(at, bt, Q_CONST)), fp.sub(fp.FQ, a, b))
+    _eq(untile(mp._k_neg(at, Q_CONST)), fp.neg(fp.FQ, a))
+    _eq(untile(mp._k_small(at, 9, Q_CONST)), fp.mul_small(fp.FQ, a, 9))
+    zt = [jnp.zeros((8, 128), jnp.uint32)] * NLIMBS
+    _eq(untile(mp._k_neg(zt, Q_CONST)), fp.zeros(fp.FQ, (B,)))
+
+
+def _run_body(body, ins, out_structs, **kw):
+    """ins: list of (tensor, struct); returns unpacked outputs."""
+    refs = [_InRef(_pack_block(x, s)) for x, s in ins]
+    outs = [_OutRef() for _ in out_structs]
+    body(*refs, *outs, **kw)
+    return [
+        _unpack_out(o, s) for o, s in zip(outs, out_structs)
+    ]
+
+
+def test_body_fq2_kernels():
+    a, b = _fq2(), _fq2()
+    (got_mul,) = _run_body(
+        mp._fq2_mul_body, [(a, (2,)), (b, (2,))], [(2,)], q=Q_CONST, inv=INV_CONST
+    )
+    _eq(got_mul, tower.fq2_mul(a, b))
+    (got_sq,) = _run_body(mp._fq2_sq_body, [(a, (2,))], [(2,)], q=Q_CONST, inv=INV_CONST)
+    _eq(got_sq, tower.fq2_sq(a))
+    (got_xi,) = _run_body(mp._fq2_xi_body, [(a, (2,))], [(2,)], q=Q_CONST)
+    _eq(got_xi, tower.fq2_mul_by_xi(a))
+
+
+def test_body_fq12_mul():
+    a, b = _fq12(), _fq12()
+    (got,) = _run_body(
+        twp._fq12_mul_body,
+        [(a, (2, 3, 2)), (b, (2, 3, 2))],
+        [(2, 3, 2)],
+        q=Q_CONST,
+        inv=INV_CONST,
+    )
+    _eq(got, tower.fq12_mul(a, b))
+
+
+def test_body_fq12_sq_and_cyclo():
+    a = _fq12()
+    (got,) = _run_body(
+        twp._fq12_sq_body, [(a, (2, 3, 2))], [(2, 3, 2)], q=Q_CONST, inv=INV_CONST
+    )
+    _eq(got, tower.fq12_sq(a))
+    (gotc,) = _run_body(
+        twp._fq12_cyclo_sq_body, [(a, (2, 3, 2))], [(2, 3, 2)], q=Q_CONST, inv=INV_CONST
+    )
+    _eq(gotc, tower.fq12_cyclotomic_sq(a))
+
+
+def test_body_fq12_mul024():
+    a = _fq12()
+    e0, evw, evv = _fq2(), _fq2(), _fq2()
+    coeff = jnp.stack([e0, evw, evv])
+    (got,) = _run_body(
+        twp._fq12_mul024_body,
+        [(a, (2, 3, 2)), (coeff, (3, 2))],
+        [(2, 3, 2)],
+        q=Q_CONST,
+        inv=INV_CONST,
+    )
+    _eq(got, tower.fq12_mul_by_024(a, e0, evw, evv))
+
+
+@pytest.mark.parametrize("do_sq", [False, True])
+def test_body_miller_step(do_sq):
+    f = _fq12()
+    coeff = jnp.stack([_fq2(), _fq2(), _fq2()])
+    px, py = _fq(), _fq()
+    (got,) = _run_body(
+        twp._miller_step_body,
+        [(f, (2, 3, 2)), (coeff, (3, 2)), (px, ()), (py, ())],
+        [(2, 3, 2)],
+        q=Q_CONST,
+        inv=INV_CONST,
+        do_sq=do_sq,
+    )
+    g = tower.fq12_sq(f) if do_sq else f
+    expect = tower.fq12_mul_by_024(
+        g,
+        coeff[0],
+        tower.fq2_scale_fq(coeff[1], py),
+        tower.fq2_scale_fq(coeff[2], px),
+    )
+    _eq(got, expect)
+
+
+def _rand_g2_jacobian(n=B):
+    """Random projective G2 representatives with z != 1."""
+    ks = [int.from_bytes(RNG.bytes(40), "big") % P.R_SCALAR for _ in range(n)]
+    xs, ys, zs = [], [], []
+    for k in ks:
+        a = O.g_to_affine(O.FQ2_OPS, O.g2_mul(O.G2_ONE, k or 1))
+        z = tuple(
+            v % P.Q
+            for v in (
+                int.from_bytes(RNG.bytes(40), "big"),
+                int.from_bytes(RNG.bytes(40), "big"),
+            )
+        )
+        if O.fq2_is_zero(z):
+            z = (1, 0)
+        z2 = O.fq2_sq(z)
+        xs.append(O.fq2_mul(a[0], z2))
+        ys.append(O.fq2_mul(a[1], O.fq2_mul(z2, z)))
+        zs.append(z)
+    return (
+        tower.fq2_to_device(xs),
+        tower.fq2_to_device(ys),
+        tower.fq2_to_device(zs),
+    )
+
+
+def _rand_g2_affine(n=B):
+    ks = [int.from_bytes(RNG.bytes(40), "big") % P.R_SCALAR for _ in range(n)]
+    pts = [O.g_to_affine(O.FQ2_OPS, O.g2_mul(O.G2_ONE, k or 1)) for k in ks]
+    return (
+        tower.fq2_to_device([p[0] for p in pts]),
+        tower.fq2_to_device([p[1] for p in pts]),
+    )
+
+
+def _step_consts():
+    from bn_tpu import ate
+
+    cs = ate._consts()
+    two_inv = tuple(int(v) for v in np.asarray(cs["two_inv"]).reshape(-1))
+    tb = np.asarray(cs["twist_b"])
+    twist_b = (
+        tuple(int(v) for v in tb[0].reshape(-1)),
+        tuple(int(v) for v in tb[1].reshape(-1)),
+    )
+    return two_inv, twist_b
+
+
+def test_body_double_step():
+    from bn_tpu import ate
+
+    x, y, z = _rand_g2_jacobian()
+    (rx, ry, rz), coeffs = ate._doubling_step((x, y, z))
+    two_inv, twist_b = _step_consts()
+    r = jnp.stack([x, y, z])
+    ro, co = _run_body(
+        twp._double_step_body,
+        [(r, (3, 2))],
+        [(3, 2), (3, 2)],
+        q=Q_CONST,
+        inv=INV_CONST,
+        two_inv=two_inv,
+        twist_b=twist_b,
+    )
+    _eq(ro, jnp.stack([rx, ry, rz]))
+    _eq(co, coeffs)
+
+
+def test_body_madd_step():
+    from bn_tpu import ate
+
+    x, y, z = _rand_g2_jacobian()
+    bx, by = _rand_g2_affine()
+    (rx, ry, rz), coeffs = ate._mixed_addition_step((x, y, z), (bx, by))
+    r = jnp.stack([x, y, z])
+    base = jnp.stack([bx, by])
+    ro, co = _run_body(
+        twp._madd_step_body,
+        [(r, (3, 2)), (base, (2, 2))],
+        [(3, 2), (3, 2)],
+        q=Q_CONST,
+        inv=INV_CONST,
+    )
+    _eq(ro, jnp.stack([rx, ry, rz]))
+    _eq(co, coeffs)
+
+
+# ---------------------------------------------------------------------------
+# tier 2: real pallas_call plumbing under the interpreter
+# ---------------------------------------------------------------------------
+
+
+def _both(fn):
+    """Evaluate fn() under jnp and under pallas-interpret; assert bit-equal."""
+    prev = backend.get_backend()
+    try:
+        backend.set_backend("jnp")
+        ref = jax.tree_util.tree_map(np.asarray, fn())
+        backend.set_backend("pallas-interpret")
+        got = jax.tree_util.tree_map(np.asarray, fn())
+    finally:
+        backend.set_backend(prev)
+    for r, g in zip(
+        jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(got)
+    ):
+        np.testing.assert_array_equal(r, g)
+
+
+def test_interpret_mont_mul_with_padding():
+    """Binary wrapper + the B-not-multiple-of-1024 pad path."""
+    a, b = _fq(5), _fq(5)
+    _both(lambda: fp.mul(fp.FQ, a, b))
+
+
+def test_interpret_fq2_mul_struct_spec():
+    """The struct=2 BlockSpec variant of the wrapper."""
+    a, b = _fq2(5), _fq2(5)
+    _both(lambda: tower.fq2_mul(a, b))
+
+
+@pytest.mark.skipif(not SLOW, reason="interpreter compiles ~minutes per fused kernel; set BN_SLOW_TESTS=1")
+def test_interpret_fq12_kernels_slow():
+    a, b = _fq12(5), _fq12(5)
+    _both(lambda: tower.fq12_mul(a, b))
+    _both(lambda: tower.fq12_sq(a))
+    _both(lambda: tower.fq12_cyclotomic_sq(a))
+
+
+@pytest.mark.skipif(not SLOW, reason="interpreter compiles ~minutes per fused kernel; set BN_SLOW_TESTS=1")
+def test_interpret_miller_step_slow():
+    f = _fq12(5)
+    coeff = jnp.stack([_fq2(5), _fq2(5), _fq2(5)])
+    px, py = _fq(5), _fq(5)
+    backend.set_backend("jnp")
+    try:
+        expect = np.asarray(
+            tower.fq12_mul_by_024(
+                tower.fq12_sq(f),
+                coeff[0],
+                tower.fq2_scale_fq(coeff[1], py),
+                tower.fq2_scale_fq(coeff[2], px),
+            )
+        )
+        backend.set_backend("pallas-interpret")
+        got = np.asarray(
+            twp.miller_step(f, coeff, px, py, fp.FQ.m_limbs, fp.FQ.inv, True)
+        )
+    finally:
+        backend.set_backend("jnp")
+    np.testing.assert_array_equal(expect, got)
