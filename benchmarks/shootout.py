@@ -21,7 +21,14 @@ import time
 
 
 def main(n: int):
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/bn_tpu_jax_cache")
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     import numpy as np
 
     from bn_tpu import curve, params as P
@@ -55,14 +62,17 @@ def main(n: int):
     # compile + warm
     acc1 = jax.block_until_ready(one_pass(kc, kd))
 
+    # Time the two passes.  The product fetch (one Gt, ~768 bytes) sits
+    # INSIDE the window: on this box block_until_ready does not block
+    # through the TPU tunnel, so the host-side fetch is what forces both
+    # passes to actually execute (same honesty rule as bench.py).
     t0 = time.perf_counter()
     acc1 = one_pass(kc, kd)
     acc2 = one_pass(kd, kc)  # swapped scalars
-    jax.block_until_ready((acc1, acc2))
-    dt = time.perf_counter() - t0
-
     a1 = np.asarray(acc1)
     a2 = np.asarray(acc2)
+    dt = time.perf_counter() - t0
+
     assert np.array_equal(a1, a2), "shootout product mismatch!"
 
     rate = 2 * n / dt

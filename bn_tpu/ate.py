@@ -28,6 +28,17 @@ from bn_tpu.fields import fp, tower
 FQ = fp.FQ
 
 
+def _use_fused_ladder() -> bool:
+    """Fused one-kernel-per-step ladder (tower_pallas double/madd/miller
+    kernels) on the Pallas backend; BN_TPU_FUSED_LADDER=0 falls back to the
+    per-op kernels while keeping the rest of the Pallas path."""
+    import os
+
+    from bn_tpu.ops.backend import use_pallas
+
+    return use_pallas() and os.environ.get("BN_TPU_FUSED_LADDER", "1") != "0"
+
+
 @functools.lru_cache(maxsize=None)
 def _consts():
     two_inv = P.int_to_limbs(P.to_mont(P.TWO_INV, P.Q)).reshape(P.NLIMBS, 1)
@@ -109,22 +120,17 @@ def _mul_by_q(a):
     )
 
 
-def precompute(q_affine):
-    """Line-coefficient precompute over a batch of affine G2 points.
+def _ladder_inputs(q_affine):
+    """Shared precompute scaffolding: step flags, per-step base index, and
+    the 3-slot base-point stack (Q, q1, -q2).
 
-    Returns a (102, 3, 2, L, B) tensor of EllCoeffs in ladder order
-    (reference: src/groups/mod.rs:557-588; count invariant asserted at :761).
-    """
+    The final two ladder slots add the Frobenius-twisted points q1 and -q2
+    (reference: src/groups/mod.rs:578-582).  Rather than instantiating two
+    extra inline addition steps (which triples the traced-program size of
+    the addition formula), the scan gathers its base point per step from the
+    3-slot stack: index 0 = Q for the ladder, 1 = q1, 2 = -q2."""
     flags = np.asarray(P.miller_schedule(), dtype=np.uint32)
     bx, by = q_affine
-    batch_shape = bx.shape[:-3] + bx.shape[-1:]
-    r0 = (bx, by, tower.ones2(batch_shape))
-
-    # The final two slots add the Frobenius-twisted points q1 and -q2
-    # (reference: src/groups/mod.rs:578-582).  Rather than instantiating two
-    # extra inline addition steps (which triples the traced-program size of
-    # the addition formula), the scan gathers its base point per step from a
-    # 3-slot stack: index 0 = Q for the ladder, 1 = q1, 2 = -q2.
     q1 = _mul_by_q((bx, by))
     q2_ = _mul_by_q(q1)
     q2 = (q2_[0], tower.neg(q2_[1]))
@@ -133,6 +139,57 @@ def precompute(q_affine):
     )  # (3, 2, 2, L, B)
     base_idx = np.zeros(len(flags), dtype=np.int32)
     base_idx[-2], base_idx[-1] = 1, 2
+    return flags, base_idx, bases
+
+
+def _precompute_fused(q_affine):
+    """Pallas path: each ladder step is ONE fused kernel (the whole doubling
+    or mixed-addition formula incl. line-coefficient emission stays in
+    registers/VMEM — no per-fq2-op HBM round trips)."""
+    from bn_tpu.ops import tower_pallas as twp
+
+    flags, base_idx, bases = _ladder_inputs(q_affine)
+    bx, by = q_affine
+    batch_shape = bx.shape[:-3] + bx.shape[-1:]
+    r0 = jnp.stack([bx, by, tower.ones2(batch_shape)])  # (3, 2, L, B)
+
+    cs = _consts()
+    two_inv = tuple(int(v) for v in np.asarray(cs["two_inv"]).reshape(-1))
+    tb = np.asarray(cs["twist_b"])
+    twist_b = (
+        tuple(int(v) for v in tb[0].reshape(-1)),
+        tuple(int(v) for v in tb[1].reshape(-1)),
+    )
+
+    def body(r, xs):
+        is_add, idx = xs
+        bsel = jnp.take(bases, idx, axis=0)
+        return jax.lax.cond(
+            is_add != 0,
+            lambda rr: twp.madd_step(rr, bsel, FQ.m_limbs, FQ.inv),
+            lambda rr: twp.double_step(rr, FQ.m_limbs, FQ.inv, two_inv, twist_b),
+            r,
+        )
+
+    _, coeffs = jax.lax.scan(
+        body, r0, (jnp.asarray(flags), jnp.asarray(base_idx))
+    )
+    return coeffs
+
+
+def precompute(q_affine):
+    """Line-coefficient precompute over a batch of affine G2 points.
+
+    Returns a (102, 3, 2, L, B) tensor of EllCoeffs in ladder order
+    (reference: src/groups/mod.rs:557-588; count invariant asserted at :761).
+    """
+    if _use_fused_ladder():
+        return _precompute_fused(q_affine)
+
+    flags, base_idx, bases = _ladder_inputs(q_affine)
+    bx, by = q_affine
+    batch_shape = bx.shape[:-3] + bx.shape[-1:]
+    r0 = (bx, by, tower.ones2(batch_shape))
 
     def body(r, xs):
         is_add, idx = xs
@@ -157,6 +214,28 @@ def miller_loop(coeffs, p_affine):
     px, py = p_affine
     batch_shape = px.shape[:-2] + px.shape[-1:]
     f0 = tower.ones12(batch_shape)
+
+    if _use_fused_ladder():
+        # Fused path: one Pallas kernel per ladder step (optional f^2 +
+        # G1-scaling of the line + sparse mul_by_024, all in registers).
+        from bn_tpu.ops import tower_pallas as twp
+
+        def body(f, xs):
+            coeff, is_add = xs
+            f = jax.lax.cond(
+                is_add != 0,
+                lambda g: twp.miller_step(
+                    g, coeff, px, py, FQ.m_limbs, FQ.inv, False
+                ),
+                lambda g: twp.miller_step(
+                    g, coeff, px, py, FQ.m_limbs, FQ.inv, True
+                ),
+                f,
+            )
+            return f, None
+
+        f, _ = jax.lax.scan(body, f0, (coeffs, jnp.asarray(flags)))
+        return f
 
     def body(f, xs):
         coeff, is_add = xs

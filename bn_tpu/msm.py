@@ -39,13 +39,10 @@ DEFAULT_C = 13  # window size in bits
 
 def scalars_to_u16(scalars) -> np.ndarray:
     """Pack canonical scalars into a (N, 16) uint16 limb matrix."""
-    n = len(scalars)
-    out = np.zeros((n, 16), dtype=np.uint16)
-    for i, s in enumerate(scalars):
-        s = int(s) % P.R_SCALAR
-        for j in range(16):
-            out[i, j] = (s >> (16 * j)) & 0xFFFF
-    return out
+    buf = b"".join(
+        (int(s) % P.R_SCALAR).to_bytes(32, "little") for s in scalars
+    )
+    return np.frombuffer(buf, dtype="<u2").reshape(len(scalars), 16).copy()
 
 
 def extract_digits(sc16: np.ndarray, c: int) -> np.ndarray:
@@ -66,20 +63,35 @@ def extract_digits(sc16: np.ndarray, c: int) -> np.ndarray:
     return digits
 
 
-def build_schedule(digits: np.ndarray, c: int):
+def build_schedule(digits: np.ndarray, c: int, r_cap: int | None = None):
     """Per-(window, bucket) padded index lists.
 
     Returns idx (w, 2^c, R) int32 where entry N means 'no point' (maps to an
-    appended point at infinity), with R the max bucket occupancy.
+    appended point at infinity), with R the max bucket occupancy (capped at
+    r_cap when given — use build_schedule_capped to recover the spill).
     """
+    idx, _, _ = build_schedule_capped(digits, c, r_cap)
+    return idx
+
+
+def build_schedule_capped(digits: np.ndarray, c: int, r_cap: int | None):
+    """Like build_schedule but with a bounded R: bucket entries beyond
+    r_cap are NOT scheduled; instead they are returned as a leftover digit
+    matrix (same shape as `digits`, zero where scheduled) for a further
+    spill round.  Bounds device memory and compile size against skewed /
+    adversarial scalar distributions (a uniform load never spills: R
+    concentrates around N/2^c).
+
+    Returns (idx, leftover_digits, has_leftover)."""
     w, n = digits.shape
     nb = 1 << c
     counts = np.zeros((w, nb), dtype=np.int64)
     for k in range(w):
         counts[k] = np.bincount(digits[k], minlength=nb)
-    r_max = int(counts[:, 1:].max()) if nb > 1 else 0  # bucket 0 is dead weight
-    r_max = max(r_max, 1)
+    r_true = int(counts[:, 1:].max()) if nb > 1 else 0  # bucket 0 is dead weight
+    r_max = max(1, r_true if r_cap is None else min(r_true, r_cap))
     idx = np.full((w, nb, r_max), n, dtype=np.int32)
+    leftover = np.zeros_like(digits)
     for k in range(w):
         order = np.argsort(digits[k], kind="stable")
         d_sorted = digits[k][order]
@@ -88,7 +100,18 @@ def build_schedule(digits: np.ndarray, c: int):
         rank = np.arange(n, dtype=np.int64) - offsets[d_sorted]
         keep = (d_sorted != 0) & (rank < r_max)
         idx[k, d_sorted[keep], rank[keep]] = order[keep].astype(np.int32)
-    return idx
+        spill = (d_sorted != 0) & (rank >= r_max)
+        if spill.any():
+            leftover[k, order[spill]] = d_sorted[spill]
+    return idx, leftover, bool(leftover.any())
+
+
+def default_r_cap(n: int, c: int) -> int:
+    """Bucket-occupancy cap: mean + 6 sigma of the uniform (Poisson-ish)
+    load, so uniform inputs virtually never spill while adversarial ones
+    are processed in bounded-size rounds."""
+    mean = max(1.0, n / float(1 << c))
+    return int(mean + 6.0 * mean**0.5 + 16)
 
 
 # ---------------------------------------------------------------------------
@@ -96,17 +119,12 @@ def build_schedule(digits: np.ndarray, c: int):
 # ---------------------------------------------------------------------------
 
 
-def _msm_core(px, py, pz, idx, c: int):
-    """px/py/pz: (L, N+1) affine-with-infinity G1 coords (z in {1, 0});
-    idx: (w, 2^c, R) int32.  Returns a batch-1 Jacobian G1 point.
-
-    Unjitted core so bn_tpu.parallel.dist can call it inside shard_map."""
+def _accumulate_rounds(px, py, pz, idx, acc):
+    """Replay the gather schedule: acc (w*nb batch of Jacobian points)
+    += R rounds of gathered point adds.  Unjitted (callers jit)."""
     spec = curve.g1_spec()
-    F = spec.field
     w, nb, r_rounds = idx.shape
-
     flat = idx.reshape(w * nb, r_rounds)
-    acc = curve.zero(spec, (w * nb,))
 
     def round_body(acc, ids):
         gp = (
@@ -117,6 +135,24 @@ def _msm_core(px, py, pz, idx, c: int):
         return curve.add(spec, acc, gp), None
 
     acc, _ = jax.lax.scan(round_body, acc, jnp.moveaxis(flat, -1, 0))
+    return acc
+
+
+def _msm_core(px, py, pz, idx, c: int):
+    """px/py/pz: (L, N+1) affine-with-infinity G1 coords (z in {1, 0});
+    idx: (w, 2^c, R) int32.  Returns a batch-1 Jacobian G1 point.
+
+    Unjitted core so bn_tpu.parallel.dist can call it inside shard_map."""
+    spec = curve.g1_spec()
+    w, nb, _ = idx.shape
+    acc = curve.zero(spec, (w * nb,))
+    acc = _accumulate_rounds(px, py, pz, idx, acc)
+    return _bucket_reduce(acc, c, w, nb)
+
+
+def _bucket_reduce(acc, c: int, w: int, nb: int):
+    """Weight buckets by index and combine windows (Horner)."""
+    spec = curve.g1_spec()
 
     # bucket weighting: sum_j j*A_j = sum_{j>=1} suffix_j.  Split the batch
     # axis into (w, L, nb) with the bucket axis trailing (limb axis stays -2).
@@ -174,6 +210,8 @@ def _msm_core(px, py, pz, idx, c: int):
 
 
 _msm_device = jax.jit(_msm_core, static_argnames=("c",))
+_accumulate_device = jax.jit(_accumulate_rounds, donate_argnums=(4,))
+_reduce_device = jax.jit(_bucket_reduce, static_argnames=("c", "w", "nb"))
 
 
 def host_points_to_affine_arrays(points):
@@ -201,20 +239,44 @@ def host_points_to_affine_arrays(points):
     return px, py, pz
 
 
-def msm(points, scalars, c: int = DEFAULT_C):
+def msm(points, scalars, c: int = DEFAULT_C, r_cap: int | None = None):
     """Multi-scalar multiplication over G1.
 
     points: list of host oracle Jacobian/affine points, or device affine
     tensors; scalars: list of ints.  Returns a batch-1 device Jacobian point.
-    """
+
+    Bucket occupancy per accumulation round is capped at r_cap (default:
+    mean + 6 sigma of the uniform load); skewed scalar distributions spill
+    into further bounded rounds instead of inflating the schedule tensor,
+    so device memory and compiled program size are input-independent."""
     n = len(scalars)
     assert n >= 1
     px, py, pz = host_points_to_affine_arrays(points)
+    if r_cap is None:
+        r_cap = default_r_cap(n, c)
 
-    sc16 = scalars_to_u16(scalars)
-    digits = extract_digits(sc16, c)
-    idx = jnp.asarray(build_schedule(digits, c))
-    return _msm_device(px, py, pz, idx, c)
+    digits = extract_digits(scalars_to_u16(scalars), c)
+    w, nb = digits.shape[0], 1 << c
+    spec = curve.g1_spec()
+
+    idx, leftover, more = build_schedule_capped(digits, c, r_cap)
+    if not more:
+        # common case: one fused accumulate+reduce call
+        return _msm_device(px, py, pz, jnp.asarray(idx), c)
+
+    acc = curve.zero(spec, (w * nb,))
+    while True:
+        # pad every spill round to r_cap so the device function compiles once
+        if idx.shape[-1] < r_cap:
+            pad = np.full(
+                (w, nb, r_cap - idx.shape[-1]), digits.shape[1], dtype=np.int32
+            )
+            idx = np.concatenate([idx, pad], axis=-1)
+        acc = _accumulate_device(px, py, pz, jnp.asarray(idx), acc)
+        if not more:
+            break
+        idx, leftover, more = build_schedule_capped(leftover, c, r_cap)
+    return _reduce_device(acc, c, w, nb)
 
 
 def msm_oracle(points, scalars):

@@ -243,7 +243,7 @@ def _block_spec(struct: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_call(kind: str, q_tuple, inv: int, n_in: int, struct: int):
+def _build_call(kind: str, q_tuple, inv: int, n_in: int, struct: int, interpret: bool = False):
     q = [np.uint32(v) for v in q_tuple]
     bodies = {
         "mont": lambda: functools.partial(_mont_body, q=q, inv=np.uint32(inv)),
@@ -266,6 +266,7 @@ def _build_call(kind: str, q_tuple, inv: int, n_in: int, struct: int):
             grid=(lead, nb),
             in_specs=[spec] * n_in,
             out_specs=spec,
+            interpret=interpret,
         )(*ops)
 
     return jax.jit(run)
@@ -297,19 +298,25 @@ def _unpack(o, pad: int, out_shape):
     return o
 
 
+def _interp() -> bool:
+    from bn_tpu.ops.backend import interpret_mode
+
+    return interpret_mode()
+
+
 def _binary(kind: str, a, b, m_limbs, inv: int = 0, struct: int = 0):
     out_shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, out_shape)
     b = jnp.broadcast_to(b, out_shape)
     a4, pad, _ = _pack(a, struct)
     b4, _, _ = _pack(b, struct)
-    run = _build_call(kind, tuple(int(v) for v in m_limbs), int(inv), 2, struct)
+    run = _build_call(kind, tuple(int(v) for v in m_limbs), int(inv), 2, struct, _interp())
     return _unpack(run(a4, b4), pad, out_shape)
 
 
 def _unary(kind: str, a, m_limbs, struct: int = 0):
     a4, pad, out_shape = _pack(a, struct)
-    run = _build_call(kind, tuple(int(v) for v in m_limbs), 0, 1, struct)
+    run = _build_call(kind, tuple(int(v) for v in m_limbs), 0, 1, struct, _interp())
     return _unpack(run(a4), pad, out_shape)
 
 
@@ -337,7 +344,7 @@ def fq2_mul_pallas(a, b, m_limbs: np.ndarray, inv: int):
 
 def fq2_sq_pallas(a, m_limbs: np.ndarray, inv: int):
     a4, pad, out_shape = _pack(a, 2)
-    run = _build_call("fq2sq", tuple(int(v) for v in m_limbs), int(inv), 1, 2)
+    run = _build_call("fq2sq", tuple(int(v) for v in m_limbs), int(inv), 1, 2, _interp())
     return _unpack(run(a4), pad, out_shape)
 
 

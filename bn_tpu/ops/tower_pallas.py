@@ -440,7 +440,7 @@ def _unpack(o, pad: int, out_shape):
 
 
 @functools.lru_cache(maxsize=None)
-def _build(kind: str, q_tuple, inv: int, extra=()):
+def _build(kind: str, q_tuple, inv: int, extra=(), interpret: bool = False):
     q = [np.uint32(v) for v in q_tuple]
     inv = np.uint32(inv)
     extra = dict(extra)
@@ -494,6 +494,7 @@ def _build(kind: str, q_tuple, inv: int, extra=()):
             out_specs=[_spec(_STRUCTS[s]) for s in outs]
             if len(outs) > 1
             else _spec(_STRUCTS[outs[0]]),
+            interpret=interpret,
         )(*ops)
         return res
 
@@ -501,6 +502,8 @@ def _build(kind: str, q_tuple, inv: int, extra=()):
 
 
 def _call(kind, ops, structs, q_limbs, inv, extra=()):
+    from bn_tpu.ops.backend import interpret_mode
+
     packed = []
     pad = 0
     out_shape = None
@@ -509,7 +512,7 @@ def _call(kind, ops, structs, q_limbs, inv, extra=()):
         packed.append(xp)
         if out_shape is None:
             out_shape = osh
-    run = _build(kind, tuple(int(v) for v in q_limbs), int(inv), extra)
+    run = _build(kind, tuple(int(v) for v in q_limbs), int(inv), extra, interpret_mode())
     return run(*packed), pad, out_shape
 
 

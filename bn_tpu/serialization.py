@@ -113,14 +113,17 @@ def encode_g2(p) -> bytes:
     return bytes([4]) + encode_fq2(a[0]) + encode_fq2(a[1])
 
 
-def decode_g2(b: bytes):
+def _decode_g2_structural(b: bytes):
+    """Parse + range/on-curve validation only (host, cheap).  Returns the
+    oracle Jacobian point and, for finite points, its affine coords for the
+    batched subgroup check."""
     if len(b) < 1:
         raise DecodeError("empty G2 encoding")
     tag = b[0]
     if tag == 0:
         if len(b) != 1:
             raise DecodeError("trailing bytes after infinity tag")
-        return O.g_zero(O.FQ2_OPS)
+        return O.g_zero(O.FQ2_OPS), None
     if tag != 4:
         raise DecodeError("invalid leading byte for uncompressed group element")
     if len(b) != 129:
@@ -129,8 +132,55 @@ def decode_g2(b: bytes):
     y = decode_fq2(b[65:129])
     if not O.g2_on_curve((x, y)):
         raise DecodeError("point is not on the curve")
+    return O.g_from_affine(O.FQ2_OPS, (x, y)), (x, y)
+
+
+def g2_subgroup_mask_device(affines):
+    """Batched full-order subgroup check on device: (r-1)*P + P == 0 per
+    lane (reference: check_order, src/groups/mod.rs:186-195 — the scalar is
+    r-1 plus one more add because device scalars live mod r).  One 256-step
+    batched ladder instead of ~256 Python Jacobian ops per point."""
+    import jax
+    import numpy as np
+
+    from bn_tpu import curve
+    from bn_tpu.fields import fp
+
+    spec = curve.g2_spec()
+    p = curve.to_device(spec, [O.g_from_affine(O.FQ2_OPS, a) for a in affines])
+    k = fp.to_device(fp.FR, [P.R_SCALAR - 1] * len(affines))
+
+    @jax.jit
+    def check(p, k):
+        rp = curve.mul(spec, p, k)
+        return curve.is_zero(spec, curve.add(spec, rp, p))
+
+    return np.asarray(check(p, k))
+
+
+def decode_g2_batch(bufs):
+    """Decode many G2 encodings with ONE device-batched subgroup check.
+
+    Structural validation (length/tag/range/on-curve) stays host-side per
+    point; the expensive r-order check runs as a single batched device
+    ladder over all finite points."""
+    pts, checks = [], []
+    for i, b in enumerate(bufs):
+        pt, affine = _decode_g2_structural(b)
+        pts.append(pt)
+        if affine is not None:
+            checks.append((i, affine))
+    if checks:
+        mask = g2_subgroup_mask_device([a for _, a in checks])
+        bad = [checks[j][0] for j in range(len(checks)) if not mask[j]]
+        if bad:
+            raise DecodeError(
+                f"point is not in the subgroup (batch index {bad[0]})"
+            )
+    return pts
+
+
+def decode_g2(b: bytes):
     # G2 enforces the full-order subgroup check on decode
     # (reference: check_order, src/groups/mod.rs:186-195, 399)
-    if not O.g2_in_subgroup((x, y)):
-        raise DecodeError("point is not in the subgroup")
-    return O.g_from_affine(O.FQ2_OPS, (x, y))
+    return decode_g2_batch([b])[0]
