@@ -29,14 +29,29 @@ FQ = fp.FQ
 
 
 def _use_fused_ladder() -> bool:
-    """Fused one-kernel-per-step ladder (tower_pallas double/madd/miller
+    """Fused one-kernel-per-step PRECOMPUTE ladder (tower_pallas double/madd
     kernels) on the Pallas backend; BN_TPU_FUSED_LADDER=0 falls back to the
-    per-op kernels while keeping the rest of the Pallas path."""
+    per-op kernels while keeping the rest of the Pallas path.
+
+    Measured on v5e (B=8192): fused precompute 23.3 ms vs 33.7 ms unfused."""
     import os
 
     from bn_tpu.ops.backend import use_pallas
 
     return use_pallas() and os.environ.get("BN_TPU_FUSED_LADDER", "1") != "0"
+
+
+def _use_fused_miller() -> bool:
+    """Whole-step Miller kernel (f^2 + scale + mul_by_024 in ONE kernel).
+
+    Default OFF: the mega-kernel's register pressure makes it SLOWER than
+    the per-Fq12-op fused kernels (measured on v5e at B=8192: 47.9 ms vs
+    42.8 ms for the 102-step loop).  BN_TPU_FUSED_MILLER=1 re-enables it."""
+    import os
+
+    from bn_tpu.ops.backend import use_pallas
+
+    return use_pallas() and os.environ.get("BN_TPU_FUSED_MILLER", "0") == "1"
 
 
 @functools.lru_cache(maxsize=None)
@@ -215,8 +230,8 @@ def miller_loop(coeffs, p_affine):
     batch_shape = px.shape[:-2] + px.shape[-1:]
     f0 = tower.ones12(batch_shape)
 
-    if _use_fused_ladder():
-        # Fused path: one Pallas kernel per ladder step (optional f^2 +
+    if _use_fused_miller():
+        # Whole-step path: one Pallas kernel per ladder step (optional f^2 +
         # G1-scaling of the line + sparse mul_by_024, all in registers).
         from bn_tpu.ops import tower_pallas as twp
 

@@ -659,9 +659,58 @@ def fq12_frob_traced(a, power):
     return fq2_mul(a_, jnp.broadcast_to(m, a.shape))
 
 
+def _final_exp_straight(f):
+    """Straight-line final exponentiation (reference: src/fields/fq12.rs:41-88).
+
+    On the Pallas path every Fq12 op below is ONE fused kernel call, so the
+    traced program is small (3 scanned exp_by_neg_z ladders + ~26 calls) and
+    there is no register-file VM in the way: no per-step gathers, no scan
+    carry copies of an (n_regs, 2, 3, 2, L, B) buffer — which is what made
+    the tape executor memory-bound on TPU (~73 ms/8192 vs ~28 ms compute).
+    """
+    binv = fq12_inv(f)
+    # easy chunk (reference: fq12.rs:41-52)
+    a = fq12_conj(f)
+    c = fq12_mul(a, binv)
+    d = fq12_frob(c, 2)
+    s = fq12_mul(d, c)
+    # hard chunk: the reference's a..v chain (fq12.rs:54-84)
+    a2 = fq12_exp_by_neg_z(s)
+    b2 = fq12_cyclotomic_sq(a2)
+    c2 = fq12_cyclotomic_sq(b2)
+    d2 = fq12_mul(c2, b2)
+    e2 = fq12_exp_by_neg_z(d2)
+    f2 = fq12_cyclotomic_sq(e2)
+    g2 = fq12_exp_by_neg_z(f2)
+    h2 = fq12_conj(d2)
+    i2 = fq12_conj(g2)
+    j2 = fq12_mul(i2, e2)
+    k2 = fq12_mul(j2, h2)
+    l2 = fq12_mul(k2, b2)
+    m2 = fq12_mul(k2, e2)
+    n2 = fq12_mul(s, m2)
+    o2 = fq12_frob(l2, 1)
+    p2 = fq12_mul(o2, n2)
+    q2 = fq12_frob(k2, 2)
+    r2 = fq12_mul(q2, p2)
+    s2_ = fq12_conj(s)
+    t2 = fq12_mul(s2_, l2)
+    u2 = fq12_frob(t2, 3)
+    return fq12_mul(u2, r2)
+
+
 def final_exponentiation(f):
     """Easy chunk + Fuentes-et-al. hard chunk
-    (reference: src/fields/fq12.rs:41-88), executed as a static-tape VM."""
+    (reference: src/fields/fq12.rs:41-88).
+
+    Pallas path: straight-line fused kernels (see _final_exp_straight).
+    jnp path: static-tape VM — inlining the ~300-op chain through the jnp
+    limb expansion produces a ~280k-HLO program, so each op kind must
+    compile exactly once."""
+    from bn_tpu.ops.backend import use_pallas
+
+    if use_pallas():
+        return _final_exp_straight(f)
     tape, n_regs, out_reg = _final_exp_tape()
     binv = fq12_inv(f)
     zero = zeros12(f.shape[:-5] + f.shape[-1:])

@@ -162,32 +162,66 @@ def _neg_body(a_ref, o_ref, *, q):
     _store(o_ref, _k_neg(_load(a_ref), q))
 
 
-def _fq2_mul_body(a_ref, b_ref, o_ref, *, q, inv):
+def _k2_mul_lazy(a0, a1, b0, b1, q, inv):
+    """Lazy Karatsuba Fq2 product: 3 column-space products + 2 REDC (the
+    CIOS body below pays 3 REDC).  Formula: src/fields/fq2.rs:139-155."""
+    from bn_tpu.ops import dw as _dw
+
+    q_int = 0
+    for i, w in enumerate(q):
+        q_int |= int(w) << (LIMB_BITS * i)
+    sa0, sa1 = _dw.sw(a0, q_int), _dw.sw(a1, q_int)
+    sb0, sb1 = _dw.sw(b0, q_int), _dw.sw(b1, q_int)
+    p0 = _dw.prod(sa0, sb0)
+    p1 = _dw.prod(sa1, sb1)
+    p01 = _dw.prod(_dw.sw_add(sa0, sa1), _dw.sw_add(sb0, sb1))
+    c0 = _dw.redc(_dw.sub(p0, p1), q, inv).limbs
+    c1 = _dw.redc(_dw.sub(_dw.sub(p01, p0), p1), q, inv).limbs
+    return c0, c1
+
+
+def _fq2_mul_body(a_ref, b_ref, o_ref, *, q, inv, lazy=True):
     """Fused Karatsuba Fq2 multiply (reference: src/fields/fq2.rs:139-155):
-    3 CIOS products + the modular pre-adds/post-subs, all in registers.
+    3 products + the modular pre-adds/post-subs, all in registers.
     Refs are (1, 2, L, 1, 8, 128) blocks."""
     a0 = [a_ref[0, 0, i, 0] for i in range(NLIMBS)]
     a1 = [a_ref[0, 1, i, 0] for i in range(NLIMBS)]
     b0 = [b_ref[0, 0, i, 0] for i in range(NLIMBS)]
     b1 = [b_ref[0, 1, i, 0] for i in range(NLIMBS)]
-    aa = _k_mont_mul(a0, b0, q, inv)
-    bb = _k_mont_mul(a1, b1, q, inv)
-    cc = _k_mont_mul(_k_add(a0, a1, q), _k_add(b0, b1, q), q, inv)
-    c0 = _k_sub(aa, bb, q)
-    c1 = _k_sub(_k_sub(cc, aa, q), bb, q)
+    if lazy:
+        c0, c1 = _k2_mul_lazy(a0, a1, b0, b1, q, inv)
+    else:
+        aa = _k_mont_mul(a0, b0, q, inv)
+        bb = _k_mont_mul(a1, b1, q, inv)
+        cc = _k_mont_mul(_k_add(a0, a1, q), _k_add(b0, b1, q), q, inv)
+        c0 = _k_sub(aa, bb, q)
+        c1 = _k_sub(_k_sub(cc, aa, q), bb, q)
     for i in range(NLIMBS):
         o_ref[0, 0, i, 0] = c0[i]
         o_ref[0, 1, i, 0] = c1[i]
 
 
-def _fq2_sq_body(a_ref, o_ref, *, q, inv):
+def _fq2_sq_body(a_ref, o_ref, *, q, inv, lazy=True):
     """Fused complex squaring (reference: src/fields/fq2.rs:112-123):
-    (a0+a1)(a0-a1) and 2*a0*a1 in one kernel."""
+    (a0+a1)(a0-a1) and 2*a0*a1 in one kernel.  Lazy path: 2 column
+    products + 2 REDC ((a0-a1 mod q) differs from a0-a1 by +q, a multiple
+    of q that REDC erases)."""
+    from bn_tpu.ops import dw as _dw
+
     a0 = [a_ref[0, 0, i, 0] for i in range(NLIMBS)]
     a1 = [a_ref[0, 1, i, 0] for i in range(NLIMBS)]
-    p0 = _k_mont_mul(_k_add(a0, a1, q), _k_sub(a0, a1, q), q, inv)
-    p1 = _k_mont_mul(a0, a1, q, inv)
-    c1 = _k_add(p1, p1, q)
+    if lazy:
+        q_int = 0
+        for i, w in enumerate(q):
+            q_int |= int(w) << (LIMB_BITS * i)
+        s = _dw.sw_add(_dw.sw(a0, q_int), _dw.sw(a1, q_int))
+        d = _dw.sw(_k_sub(a0, a1, q), q_int)
+        p0 = _dw.redc(_dw.prod(s, d), q, inv).limbs
+        c1 = _dw.redc(_dw.dbl(_dw.prod(_dw.sw(a0, q_int), _dw.sw(a1, q_int))), q, inv).limbs
+    else:
+        p0 = _k_mont_mul(_k_add(a0, a1, q), _k_sub(a0, a1, q), q, inv)
+        p1 = _k_mont_mul(a0, a1, q, inv)
+        c1 = _k_add(p1, p1, q)
     for i in range(NLIMBS):
         o_ref[0, 0, i, 0] = p0[i]
         o_ref[0, 1, i, 0] = c1[i]
@@ -242,16 +276,26 @@ def _block_spec(struct: int):
     )
 
 
+def _lazy_default() -> bool:
+    import os
+
+    return os.environ.get("BN_TPU_LAZY", "1") != "0"
+
+
 @functools.lru_cache(maxsize=None)
-def _build_call(kind: str, q_tuple, inv: int, n_in: int, struct: int, interpret: bool = False):
+def _build_call(kind: str, q_tuple, inv: int, n_in: int, struct: int, interpret: bool = False, lazy: bool = True):
     q = [np.uint32(v) for v in q_tuple]
     bodies = {
         "mont": lambda: functools.partial(_mont_body, q=q, inv=np.uint32(inv)),
         "add": lambda: functools.partial(_add_body, q=q),
         "sub": lambda: functools.partial(_sub_body, q=q),
         "neg": lambda: functools.partial(_neg_body, q=q),
-        "fq2mul": lambda: functools.partial(_fq2_mul_body, q=q, inv=np.uint32(inv)),
-        "fq2sq": lambda: functools.partial(_fq2_sq_body, q=q, inv=np.uint32(inv)),
+        "fq2mul": lambda: functools.partial(
+            _fq2_mul_body, q=q, inv=np.uint32(inv), lazy=lazy
+        ),
+        "fq2sq": lambda: functools.partial(
+            _fq2_sq_body, q=q, inv=np.uint32(inv), lazy=lazy
+        ),
         "fq2xi": lambda: functools.partial(_fq2_xi_body, q=q),
     }
     body = bodies[kind]()
@@ -310,13 +354,13 @@ def _binary(kind: str, a, b, m_limbs, inv: int = 0, struct: int = 0):
     b = jnp.broadcast_to(b, out_shape)
     a4, pad, _ = _pack(a, struct)
     b4, _, _ = _pack(b, struct)
-    run = _build_call(kind, tuple(int(v) for v in m_limbs), int(inv), 2, struct, _interp())
+    run = _build_call(kind, tuple(int(v) for v in m_limbs), int(inv), 2, struct, _interp(), _lazy_default())
     return _unpack(run(a4, b4), pad, out_shape)
 
 
 def _unary(kind: str, a, m_limbs, struct: int = 0):
     a4, pad, out_shape = _pack(a, struct)
-    run = _build_call(kind, tuple(int(v) for v in m_limbs), 0, 1, struct, _interp())
+    run = _build_call(kind, tuple(int(v) for v in m_limbs), 0, 1, struct, _interp(), _lazy_default())
     return _unpack(run(a4), pad, out_shape)
 
 
@@ -344,7 +388,7 @@ def fq2_mul_pallas(a, b, m_limbs: np.ndarray, inv: int):
 
 def fq2_sq_pallas(a, m_limbs: np.ndarray, inv: int):
     a4, pad, out_shape = _pack(a, 2)
-    run = _build_call("fq2sq", tuple(int(v) for v in m_limbs), int(inv), 1, 2, _interp())
+    run = _build_call("fq2sq", tuple(int(v) for v in m_limbs), int(inv), 1, 2, _interp(), _lazy_default())
     return _unpack(run(a4), pad, out_shape)
 
 

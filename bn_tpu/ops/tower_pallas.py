@@ -243,6 +243,236 @@ def _k12_cyclo_sq(a, q, inv):
 
 
 # ---------------------------------------------------------------------------
+# lazy-reduction tower algebra (ops/dw.py column space; one REDC per OUTPUT
+# coefficient instead of one per product — Aranha et al. 2011).  SW pairs /
+# triples mirror the [Fq, Fq] / [Fq2, ...] list structure above; `_d2_*`
+# operate on [DW, DW] Fq2 values.  All value bounds are tracked exactly at
+# trace time by ops/dw.py and over-budget formulas fail to trace.
+# ---------------------------------------------------------------------------
+
+from bn_tpu.ops import dw as _dw
+
+
+def _s2(a, hi):
+    """Raw 2xL tile lists -> (SW, SW) with the given exclusive bound."""
+    return [_dw.sw(a[0], hi), _dw.sw(a[1], hi)]
+
+
+def _s2_add(a, b):
+    return [_dw.sw_add(a[0], b[0]), _dw.sw_add(a[1], b[1])]
+
+
+def _s6_add(a, b):
+    return [_s2_add(x, y) for x, y in zip(a, b)]
+
+
+def _d2_prod(a, b):
+    """Fq2 product in column space (0 REDC).  Karatsuba (3 Fq products) when
+    the pre-adds fit single-width; otherwise 4-product schoolbook — operands
+    that are themselves Karatsuba sums (bound 4q) would overflow the 2^256
+    pre-add budget, and in column space the schoolbook cross terms are free
+    of modular adds anyway."""
+    p0 = _dw.prod(a[0], b[0])
+    p1 = _dw.prod(a[1], b[1])
+    if a[0].hi + a[1].hi <= 1 << 256 and b[0].hi + b[1].hi <= 1 << 256:
+        p01 = _dw.prod(_dw.sw_add(a[0], a[1]), _dw.sw_add(b[0], b[1]))
+        c1 = _dw.sub(_dw.sub(p01, p0), p1)
+    else:
+        c1 = _dw.add(_dw.prod(a[0], b[1]), _dw.prod(a[1], b[0]))
+    return [_dw.sub(p0, p1), c1]
+
+
+def _d2_add(a, b):
+    return [_dw.add(a[0], b[0]), _dw.add(a[1], b[1])]
+
+
+def _d2_sub(a, b):
+    return [_dw.sub(a[0], b[0]), _dw.sub(a[1], b[1])]
+
+
+def _d2_dbl(a):
+    return [_dw.dbl(a[0]), _dw.dbl(a[1])]
+
+
+def _d2_smul(a, k):
+    return [_dw.smul(a[0], k), _dw.smul(a[1], k)]
+
+
+def _d2_xi(a):
+    return list(_dw.xi_pair(a[0], a[1]))
+
+
+def _d2_from_s2(a):
+    """Montgomery-domain Fq2 -> column space (times R, so redc undoes it)."""
+    return [_dw.from_sw_hi(a[0]), _dw.from_sw_hi(a[1])]
+
+
+def _d2_redc(a, q, inv):
+    r = [_dw.redc(a[0], q, inv), _dw.redc(a[1], q, inv)]
+    return [r[0].limbs, r[1].limbs]
+
+
+def _d6_prod(a, b):
+    """Karatsuba Fq6 product in column space (18 Fq products, 0 REDC;
+    formula of reference src/fields/fq6.rs:144-158)."""
+    a0, a1, a2 = a
+    b0, b1, b2 = b
+    aa = _d2_prod(a0, b0)
+    bb = _d2_prod(a1, b1)
+    cc = _d2_prod(a2, b2)
+    t12 = _d2_prod(_s2_add(a1, a2), _s2_add(b1, b2))
+    t01 = _d2_prod(_s2_add(a0, a1), _s2_add(b0, b1))
+    t02 = _d2_prod(_s2_add(a0, a2), _s2_add(b0, b2))
+    r0 = _d2_add(_d2_xi(_d2_sub(_d2_sub(t12, bb), cc)), aa)
+    r1 = _d2_add(_d2_sub(_d2_sub(t01, aa), bb), _d2_xi(cc))
+    r2 = _d2_sub(_d2_add(_d2_sub(t02, aa), bb), cc)
+    return [r0, r1, r2]
+
+
+def _d6_nr(a):
+    """v * a on a column-space Fq6 (reference: src/fields/fq6.rs:59-65)."""
+    return [_d2_xi(a[2]), a[0], a[1]]
+
+
+def _d6_add(a, b):
+    return [_d2_add(x, y) for x, y in zip(a, b)]
+
+
+def _d6_sub(a, b):
+    return [_d2_sub(x, y) for x, y in zip(a, b)]
+
+
+def _d6_redc(a, q, inv):
+    return [_d2_redc(c, q, inv) for c in a]
+
+
+def _sw6(a, q):
+    """Raw Fq6 tile struct -> SW triple (canonical inputs, bound q)."""
+    q_int = 0
+    for i, w in enumerate(q):
+        q_int |= int(w) << (16 * i)
+    return [_s2([a[c][0], a[c][1]], q_int) for c in range(3)]
+
+
+def _k12_mul_lazy(a, b, q, inv):
+    """Fq12 Karatsuba with full-tower lazy reduction: 54 products + 12 REDC
+    (vs 54 products + 54 REDC for the CIOS path)."""
+    a0, a1 = _sw6(a[0], q), _sw6(a[1], q)
+    b0, b1 = _sw6(b[0], q), _sw6(b[1], q)
+    aa = _d6_prod(a0, b0)
+    bb = _d6_prod(a1, b1)
+    cc = _d6_prod(_s6_add(a0, a1), _s6_add(b0, b1))
+    r0 = _d6_add(_d6_nr(bb), aa)
+    r1 = _d6_sub(_d6_sub(cc, aa), bb)
+    return [_d6_redc(r0, q, inv), _d6_redc(r1, q, inv)]
+
+
+def _k12_sq_lazy(a, q, inv):
+    """Fq12 squaring, lazy: 36 products + 12 REDC
+    (reference: src/fields/fq12.rs:275-282)."""
+    a0, a1 = _sw6(a[0], q), _sw6(a[1], q)
+    # nr(a1) as a reduced single-width operand (modular xi on canonical a1)
+    nr_a1_t = _k6_nr(a[1], q)
+    nr_a1 = _sw6(nr_a1_t, q)
+    ab = _d6_prod(a0, a1)
+    t = _d6_prod(_s6_add(a0, nr_a1), _s6_add(a0, a1))
+    r0 = _d6_sub(_d6_sub(t, ab), _d6_nr(ab))
+    r1 = [_d2_dbl(c) for c in ab]
+    return [_d6_redc(r0, q, inv), _d6_redc(r1, q, inv)]
+
+
+def _k12_mul024_lazy(f, x0, x2, x4, q, inv):
+    """Sparse line multiply, lazy: 39 products + 12 REDC
+    (reference: src/fields/fq12.rs:107-176)."""
+    q_int = 0
+    for i, w in enumerate(q):
+        q_int |= int(w) << (16 * i)
+    z0, z1, z2 = (_s2(f[0][c], q_int) for c in range(3))
+    z3, z4, z5 = (_s2(f[1][c], q_int) for c in range(3))
+    x0 = _s2(x0, q_int)
+    x2 = _s2(x2, q_int)
+    x4 = _s2(x4, q_int)
+
+    d0 = _d2_prod(z0, x0)
+    d2 = _d2_prod(z2, x2)
+    d4 = _d2_prod(z4, x4)
+    t2a = _s2_add(z0, z4)
+    t1a = _s2_add(z0, z2)
+    s0 = _s2_add(_s2_add(z1, z3), z5)
+
+    z1x2 = _d2_prod(z1, x2)
+    nz0 = _d2_add(_d2_xi(_d2_add(z1x2, d4)), d0)
+
+    z5x4 = _d2_prod(z5, x4)
+    z1x0 = _d2_prod(z1, x0)
+    nz1 = _d2_add(_d2_xi(_d2_add(z5x4, d2)), z1x0)
+
+    t1t0 = _d2_prod(t1a, _s2_add(x0, x2))
+    z3x4 = _d2_prod(z3, x4)
+    nz2 = _d2_add(_d2_sub(_d2_sub(t1t0, d0), d2), z3x4)
+
+    z24x24 = _d2_prod(_s2_add(z2, z4), _s2_add(x2, x4))
+    z3x0 = _d2_prod(z3, x0)
+    nz3 = _d2_add(_d2_xi(_d2_sub(_d2_sub(z24x24, d2), d4)), z3x0)
+
+    z5x2 = _d2_prod(z5, x2)
+    t2t0 = _d2_prod(t2a, _s2_add(x0, x4))
+    nz4 = _d2_add(_d2_xi(z5x2), _d2_sub(_d2_sub(t2t0, d0), d4))
+
+    s1 = _d2_add(
+        _d2_add(_d2_add(z1x2, z5x4), _d2_add(z1x0, z3x4)),
+        _d2_add(z3x0, z5x2),
+    )
+    s0t0 = _d2_prod(s0, _s2_add(_s2_add(x0, x2), x4))
+    nz5 = _d2_sub(s0t0, s1)
+
+    return [
+        [_d2_redc(nz0, q, inv), _d2_redc(nz1, q, inv), _d2_redc(nz2, q, inv)],
+        [_d2_redc(nz3, q, inv), _d2_redc(nz4, q, inv), _d2_redc(nz5, q, inv)],
+    ]
+
+
+def _k12_cyclo_sq_lazy(a, q, inv):
+    """Granger–Scott cyclotomic squaring, lazy: 18 products + 12 REDC,
+    with the 3t±2z chains done in column space
+    (reference: src/fields/fq12.rs:178-227)."""
+    q_int = 0
+    for i, w in enumerate(q):
+        q_int |= int(w) << (16 * i)
+    z0t, z4t, z3t = a[0]
+    z2t, z1t, z5t = a[1]
+    z0, z4, z3 = _s2(z0t, q_int), _s2(z4t, q_int), _s2(z3t, q_int)
+    z2, z1, z5 = _s2(z2t, q_int), _s2(z1t, q_int), _s2(z5t, q_int)
+
+    def gs(zu, zv, zv_raw):
+        tmp = _d2_prod(zu, zv)
+        # xi(zv) reduced via the modular kernel (canonical input)
+        xiv = _s2(_k2_xi(zv_raw, q), q_int)
+        big = _d2_prod(_s2_add(zu, zv), _s2_add(xiv, zu))
+        t_a = _d2_sub(_d2_sub(big, tmp), _d2_xi(tmp))
+        t_b = _d2_dbl(tmp)
+        return t_a, t_b
+
+    t0, t1 = gs(z0, z1, [z1t[0], z1t[1]])
+    t2, t3 = gs(z2, z3, [z3t[0], z3t[1]])
+    t4, t5 = gs(z4, z5, [z5t[0], z5t[1]])
+
+    def m3_sub(t, z):  # 3t - 2z, column space
+        return _d2_sub(_d2_smul(t, 3), _d2_dbl(_d2_from_s2(z)))
+
+    def m3_add(t, z):  # 3t + 2z
+        return _d2_add(_d2_smul(t, 3), _d2_dbl(_d2_from_s2(z)))
+
+    nz0 = _d2_redc(m3_sub(t0, z0), q, inv)
+    nz1 = _d2_redc(m3_add(t1, z1), q, inv)
+    nz2 = _d2_redc(m3_add(_d2_xi(t5), z2), q, inv)
+    nz3 = _d2_redc(m3_sub(t4, z3), q, inv)
+    nz4 = _d2_redc(m3_sub(t2, z4), q, inv)
+    nz5 = _d2_redc(m3_add(t3, z5), q, inv)
+    return [[nz0, nz4, nz3], [nz2, nz1, nz5]]
+
+
+# ---------------------------------------------------------------------------
 # ref <-> register-list loading (refs are (1, *struct, L, 1, 8, 128) blocks)
 # ---------------------------------------------------------------------------
 
@@ -297,25 +527,31 @@ def _const_fq2(v2_limbs):
 # ---------------------------------------------------------------------------
 
 
-def _fq12_mul_body(a_ref, b_ref, o_ref, *, q, inv):
-    _store_fq12(o_ref, _k12_mul(_load_fq12(a_ref), _load_fq12(b_ref), q, inv))
+def _fq12_mul_body(a_ref, b_ref, o_ref, *, q, inv, lazy=True):
+    op = _k12_mul_lazy if lazy else _k12_mul
+    _store_fq12(o_ref, op(_load_fq12(a_ref), _load_fq12(b_ref), q, inv))
 
 
-def _fq12_sq_body(a_ref, o_ref, *, q, inv):
-    _store_fq12(o_ref, _k12_sq(_load_fq12(a_ref), q, inv))
+def _fq12_sq_body(a_ref, o_ref, *, q, inv, lazy=True):
+    op = _k12_sq_lazy if lazy else _k12_sq
+    _store_fq12(o_ref, op(_load_fq12(a_ref), q, inv))
 
 
-def _fq12_cyclo_sq_body(a_ref, o_ref, *, q, inv):
-    _store_fq12(o_ref, _k12_cyclo_sq(_load_fq12(a_ref), q, inv))
+def _fq12_cyclo_sq_body(a_ref, o_ref, *, q, inv, lazy=True):
+    op = _k12_cyclo_sq_lazy if lazy else _k12_cyclo_sq
+    _store_fq12(o_ref, op(_load_fq12(a_ref), q, inv))
 
 
-def _fq12_mul024_body(a_ref, c_ref, o_ref, *, q, inv):
+def _fq12_mul024_body(a_ref, c_ref, o_ref, *, q, inv, lazy=True):
     """c_ref holds (ell_0, ell_vw, ell_vv) as a (3,2) struct."""
     f = _load_fq12(a_ref)
     e0 = _load_fq2(c_ref, (0,))
     evw = _load_fq2(c_ref, (1,))
     evv = _load_fq2(c_ref, (2,))
-    _store_fq12(o_ref, _k12_mul_by_024(f, e0, evv, evw, q, inv))
+    if lazy:
+        _store_fq12(o_ref, _k12_mul024_lazy(f, e0, evv, evw, q, inv))
+    else:
+        _store_fq12(o_ref, _k12_mul_by_024(f, e0, evv, evw, q, inv))
 
 
 def _miller_step_body(f_ref, c_ref, px_ref, py_ref, o_ref, *, q, inv, do_sq):
@@ -439,23 +675,31 @@ def _unpack(o, pad: int, out_shape):
     return o[..., :B] if pad else o
 
 
+def _lazy_default() -> bool:
+    """Lazy-reduction kernels (BN_TPU_LAZY=0 restores the CIOS-per-product
+    bodies; formulas identical, only the reduction schedule differs)."""
+    import os
+
+    return os.environ.get("BN_TPU_LAZY", "1") != "0"
+
+
 @functools.lru_cache(maxsize=None)
-def _build(kind: str, q_tuple, inv: int, extra=(), interpret: bool = False):
+def _build(kind: str, q_tuple, inv: int, extra=(), interpret: bool = False, lazy: bool = True):
     q = [np.uint32(v) for v in q_tuple]
     inv = np.uint32(inv)
     extra = dict(extra)
 
     if kind == "fq12_mul":
-        body = functools.partial(_fq12_mul_body, q=q, inv=inv)
+        body = functools.partial(_fq12_mul_body, q=q, inv=inv, lazy=lazy)
         ins, outs = ["fq12", "fq12"], ["fq12"]
     elif kind == "fq12_sq":
-        body = functools.partial(_fq12_sq_body, q=q, inv=inv)
+        body = functools.partial(_fq12_sq_body, q=q, inv=inv, lazy=lazy)
         ins, outs = ["fq12"], ["fq12"]
     elif kind == "fq12_cyclo_sq":
-        body = functools.partial(_fq12_cyclo_sq_body, q=q, inv=inv)
+        body = functools.partial(_fq12_cyclo_sq_body, q=q, inv=inv, lazy=lazy)
         ins, outs = ["fq12"], ["fq12"]
     elif kind == "fq12_mul024":
-        body = functools.partial(_fq12_mul024_body, q=q, inv=inv)
+        body = functools.partial(_fq12_mul024_body, q=q, inv=inv, lazy=lazy)
         ins, outs = ["fq12", "coeff"], ["fq12"]
     elif kind in ("miller_sq_step", "miller_step"):
         body = functools.partial(
@@ -512,7 +756,14 @@ def _call(kind, ops, structs, q_limbs, inv, extra=()):
         packed.append(xp)
         if out_shape is None:
             out_shape = osh
-    run = _build(kind, tuple(int(v) for v in q_limbs), int(inv), extra, interpret_mode())
+    run = _build(
+        kind,
+        tuple(int(v) for v in q_limbs),
+        int(inv),
+        extra,
+        interpret_mode(),
+        _lazy_default(),
+    )
     return run(*packed), pad, out_shape
 
 
