@@ -519,6 +519,43 @@ def fq12_exp_by_neg_z(a):
     return fq12_conj(fq12_cyclotomic_pow_z(a))
 
 
+@functools.lru_cache(maxsize=None)
+def _z_naf():
+    """Non-adjacent form of the BN parameter z, MSB first: 63 digits,
+    24 nonzero (vs 28 set bits in binary) — each -1 costs only a free
+    conjugate for cyclotomic-subgroup elements."""
+    n = P.Z_BN
+    naf = []
+    while n:
+        if n & 1:
+            d = 2 - (n % 4)
+            naf.append(d)
+            n -= d
+        else:
+            naf.append(0)
+        n >>= 1
+    return tuple(reversed(naf))
+
+
+def _exp_by_neg_z_cyclotomic(a):
+    """exp_by_neg_z for a PROVABLY cyclotomic input (the final-exp hard
+    chunk): NAF ladder with a^-1 = conj(a), unrolled straight-line on the
+    Pallas path (each op is one fused kernel call).  Mathematically equal
+    to the reference's binary ladder (src/fields/fq12.rs:97-101, 229-246);
+    pinned by the same golden vectors through final_exponentiation."""
+    naf = _z_naf()
+    a_conj = fq12_conj(a)
+    assert naf[0] == 1
+    res = a
+    for d in naf[1:]:
+        res = fq12_cyclotomic_sq(res)
+        if d == 1:
+            res = fq12_mul(res, a)
+        elif d == -1:
+            res = fq12_mul(res, a_conj)
+    return fq12_conj(res)
+
+
 # ---------------------------------------------------------------------------
 # final exponentiation (reference: src/fields/fq12.rs:41-88)
 #
@@ -674,14 +711,16 @@ def _final_exp_straight(f):
     c = fq12_mul(a, binv)
     d = fq12_frob(c, 2)
     s = fq12_mul(d, c)
-    # hard chunk: the reference's a..v chain (fq12.rs:54-84)
-    a2 = fq12_exp_by_neg_z(s)
+    # hard chunk: the reference's a..v chain (fq12.rs:54-84).  All inputs
+    # to exp_by_neg_z here are cyclotomic (s = (f^(q^6-1))^(q^2+1) and its
+    # cyclotomic closures), so the NAF ladder's conj-as-inverse is valid.
+    a2 = _exp_by_neg_z_cyclotomic(s)
     b2 = fq12_cyclotomic_sq(a2)
     c2 = fq12_cyclotomic_sq(b2)
     d2 = fq12_mul(c2, b2)
-    e2 = fq12_exp_by_neg_z(d2)
+    e2 = _exp_by_neg_z_cyclotomic(d2)
     f2 = fq12_cyclotomic_sq(e2)
-    g2 = fq12_exp_by_neg_z(f2)
+    g2 = _exp_by_neg_z_cyclotomic(f2)
     h2 = fq12_conj(d2)
     i2 = fq12_conj(g2)
     j2 = fq12_mul(i2, e2)

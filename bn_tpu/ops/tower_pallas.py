@@ -354,6 +354,33 @@ def _sw6(a, q):
     return [_s2([a[c][0], a[c][1]], q_int) for c in range(3)]
 
 
+def _qint(q):
+    q_int = 0
+    for i, w in enumerate(q):
+        q_int |= int(w) << (16 * i)
+    return q_int
+
+
+def _k2_mul_l(a, b, q, inv):
+    """Raw-tile lazy Fq2 multiply: canonical in -> canonical out, 2 REDC."""
+    qi = _qint(q)
+    return _d2_redc(_d2_prod(_s2(a, qi), _s2(b, qi)), q, inv)
+
+
+def _k2_sq_l(a, q, inv):
+    """Raw-tile lazy complex squaring: (a0+a1)(a0-a1 mod q) and 2 a0 a1,
+    2 products + 2 REDC (the +q slack in the subtraction is a multiple of
+    q that REDC erases)."""
+    qi = _qint(q)
+    s = _dw.sw_add(_dw.sw(a[0], qi), _dw.sw(a[1], qi))
+    d = _dw.sw(_k_sub(a[0], a[1], q), qi)
+    c0 = _dw.redc(_dw.prod(s, d), q, inv).limbs
+    c1 = _dw.redc(
+        _dw.dbl(_dw.prod(_dw.sw(a[0], qi), _dw.sw(a[1], qi))), q, inv
+    ).limbs
+    return [c0, c1]
+
+
 def _k12_mul_lazy(a, b, q, inv):
     """Fq12 Karatsuba with full-tower lazy reduction: 54 products + 12 REDC
     (vs 54 products + 54 REDC for the CIOS path)."""
@@ -554,26 +581,103 @@ def _fq12_mul024_body(a_ref, c_ref, o_ref, *, q, inv, lazy=True):
         _store_fq12(o_ref, _k12_mul_by_024(f, e0, evv, evw, q, inv))
 
 
-def _miller_step_body(f_ref, c_ref, px_ref, py_ref, o_ref, *, q, inv, do_sq):
+def _k2_scale_fq_l(a, k, q, inv):
+    """Lazy Fq2-by-Fq scale: 2 products + 2 REDC."""
+    qi = _qint(q)
+    ks = _dw.sw(k, qi)
+    return [
+        _dw.redc(_dw.prod(_dw.sw(a[0], qi), ks), q, inv).limbs,
+        _dw.redc(_dw.prod(_dw.sw(a[1], qi), ks), q, inv).limbs,
+    ]
+
+
+def _miller_step_body(f_ref, c_ref, px_ref, py_ref, o_ref, *, q, inv, do_sq, lazy=True):
     """One Miller-ladder step: optional f^2, scale line coeffs by the G1
     point, sparse mul_by_024 (reference: src/groups/mod.rs:494-509)."""
     f = _load_fq12(f_ref)
-    if do_sq:
-        f = _k12_sq(f, q, inv)
     px = _load_fq(px_ref)
     py = _load_fq(py_ref)
     e0 = _load_fq2(c_ref, (0,))
+    if lazy:
+        if do_sq:
+            f = _k12_sq_lazy(f, q, inv)
+        evw = _k2_scale_fq_l(_load_fq2(c_ref, (1,)), py, q, inv)
+        evv = _k2_scale_fq_l(_load_fq2(c_ref, (2,)), px, q, inv)
+        _store_fq12(o_ref, _k12_mul024_lazy(f, e0, evv, evw, q, inv))
+        return
+    if do_sq:
+        f = _k12_sq(f, q, inv)
     evw = _k2_scale_fq(_load_fq2(c_ref, (1,)), py, q, inv)
     evv = _k2_scale_fq(_load_fq2(c_ref, (2,)), px, q, inv)
     _store_fq12(o_ref, _k12_mul_by_024(f, e0, evv, evw, q, inv))
 
 
-def _double_step_body(r_ref, o_ref, c_ref, *, q, inv, two_inv, twist_b):
+def _double_step_lazy(x, y, z, q, inv, two_inv, twist_b):
+    """Lazy doubling step (reference: src/groups/mod.rs:612-634): products
+    in column space, REDC per needed value, linear tails fused into the
+    REDC of the defining products."""
+    qi = _qint(q)
+    ti = _dw.sw(
+        [jnp.full((SUBLANES, LANES), v, U32) for v in _const_fq(two_inv)], qi
+    )
+    tb = [
+        _dw.sw(
+            [jnp.full((SUBLANES, LANES), v, U32) for v in _const_fq(tw)], qi
+        )
+        for tw in twist_b
+    ]
+
+    def s2(v):
+        return _s2(v, qi)
+
+    xs, ys, zs = s2(x), s2(y), s2(z)
+    # a = x*y/2: x*y lazy, then scale by the two_inv constant
+    xy = _d2_redc(_d2_prod(xs, ys), q, inv)
+    a = _k2_scale_fq_l(xy, ti.limbs, q, inv)
+    b = _k2_sq_l(y, q, inv)  # y^2
+    c = _k2_sq_l(z, q, inv)  # z^2
+    # e = (3c) * twist_b  (Karatsuba against the constant pair)
+    d3 = _k2_small(c, 3, q)
+    e = _d2_redc(_d2_prod(s2(d3), tb), q, inv)
+    f = _k2_small(e, 3, q)
+    g = _k2_scale_fq_l(_k2_add(b, f, q), ti.limbs, q, inv)
+    # h = (y+z)^2 - (b+c): one REDC absorbs the subtraction
+    yz = _s2_add(ys, zs)
+    h_dw = _d2_sub(
+        _d2_prod(yz, yz),
+        _d2_add(_d2_from_s2(s2(b)), _d2_from_s2(s2(c))),
+    )
+    h = _d2_redc(h_dw, q, inv)
+    i = _k2_sub(e, b, q)
+    # ny = g^2 - 3 e^2: one REDC
+    gs_, es_ = s2(g), s2(e)
+    ny = _d2_redc(
+        _d2_sub(_d2_prod(gs_, gs_), _d2_smul(_d2_prod(es_, es_), 3)), q, inv
+    )
+    nx = _k2_mul_l(a, _k2_sub(b, f, q), q, inv)
+    nz = _k2_mul_l(b, h, q, inv)
+    # ell_vv = 3 x^2: one REDC
+    ell_vv = _d2_redc(_d2_smul(_d2_prod(xs, xs), 3), q, inv)
+    return nx, ny, nz, _k2_xi(i, q), _k2_neg(h, q), ell_vv
+
+
+def _double_step_body(r_ref, o_ref, c_ref, *, q, inv, two_inv, twist_b, lazy=True):
     """Miller doubling step on the running G2 point, emitting EllCoeffs
     (reference: src/groups/mod.rs:612-634).  r is a (3,2) struct (x,y,z)."""
     x = _load_fq2(r_ref, (0,))
     y = _load_fq2(r_ref, (1,))
     z = _load_fq2(r_ref, (2,))
+    if lazy:
+        nx, ny, nz, ell_0, ell_vw, ell_vv = _double_step_lazy(
+            x, y, z, q, inv, two_inv, twist_b
+        )
+        _store_fq2(o_ref, nx, (0,))
+        _store_fq2(o_ref, ny, (1,))
+        _store_fq2(o_ref, nz, (2,))
+        _store_fq2(c_ref, ell_0, (0,))
+        _store_fq2(c_ref, ell_vw, (1,))
+        _store_fq2(c_ref, ell_vv, (2,))
+        return
     ti = _const_fq(two_inv)
     tb = _const_fq2(twist_b)
 
@@ -601,7 +705,53 @@ def _double_step_body(r_ref, o_ref, c_ref, *, q, inv, two_inv, twist_b):
     _store_fq2(c_ref, _k2_small(j, 3, q), (2,))  # ell_vv
 
 
-def _madd_step_body(r_ref, b_ref, o_ref, c_ref, *, q, inv):
+def _madd_step_lazy(x, y, z, bx, by, q, inv):
+    """Lazy mixed-addition step (reference: src/groups/mod.rs:591-610)."""
+    qi = _qint(q)
+
+    def s2(v):
+        return _s2(v, qi)
+
+    xs, ys, zs = s2(x), s2(y), s2(z)
+    bxs, bys = s2(bx), s2(by)
+    # d = x - z*bx, e = y - z*by: REDC absorbs the subtraction
+    d = _d2_redc(
+        _d2_sub(_d2_from_s2(xs), _d2_prod(zs, bxs)), q, inv
+    )
+    e = _d2_redc(
+        _d2_sub(_d2_from_s2(ys), _d2_prod(zs, bys)), q, inv
+    )
+    ds, es = s2(d), s2(e)
+    f = _k2_sq_l(d, q, inv)
+    g = _k2_sq_l(e, q, inv)
+    h = _k2_mul_l(d, f, q, inv)
+    i = _k2_mul_l(x, f, q, inv)
+    # j = z*g + h - 2i: one REDC
+    j = _d2_redc(
+        _d2_add(
+            _d2_prod(zs, s2(g)),
+            _d2_sub(_d2_from_s2(s2(h)), _d2_dbl(_d2_from_s2(s2(i)))),
+        ),
+        q,
+        inv,
+    )
+    nx = _k2_mul_l(d, j, q, inv)
+    # ny = e*(i-j) - h*y: one REDC
+    ny = _d2_redc(
+        _d2_sub(_d2_prod(es, s2(_k2_sub(i, j, q))), _d2_prod(s2(h), ys)),
+        q,
+        inv,
+    )
+    nz = _k2_mul_l(z, h, q, inv)
+    # ell_0 = xi(e*bx - d*by): one REDC then the cheap modular xi
+    ebx_dby = _d2_redc(
+        _d2_sub(_d2_prod(es, bxs), _d2_prod(ds, bys)), q, inv
+    )
+    ell_0 = _k2_xi(ebx_dby, q)
+    return nx, ny, nz, ell_0, d, _k2_neg(e, q)
+
+
+def _madd_step_body(r_ref, b_ref, o_ref, c_ref, *, q, inv, lazy=True):
     """Miller mixed-addition step (reference: src/groups/mod.rs:591-610).
     b_ref is the affine base point (2,2) struct (bx, by)."""
     x = _load_fq2(r_ref, (0,))
@@ -609,6 +759,17 @@ def _madd_step_body(r_ref, b_ref, o_ref, c_ref, *, q, inv):
     z = _load_fq2(r_ref, (2,))
     bx = _load_fq2(b_ref, (0,))
     by = _load_fq2(b_ref, (1,))
+    if lazy:
+        nx, ny, nz, ell_0, ell_vw, ell_vv = _madd_step_lazy(
+            x, y, z, bx, by, q, inv
+        )
+        _store_fq2(o_ref, nx, (0,))
+        _store_fq2(o_ref, ny, (1,))
+        _store_fq2(o_ref, nz, (2,))
+        _store_fq2(c_ref, ell_0, (0,))
+        _store_fq2(c_ref, ell_vw, (1,))
+        _store_fq2(c_ref, ell_vv, (2,))
+        return
 
     d = _k2_sub(x, _k2_mul(z, bx, q, inv), q)
     e = _k2_sub(y, _k2_mul(z, by, q, inv), q)
@@ -703,7 +864,11 @@ def _build(kind: str, q_tuple, inv: int, extra=(), interpret: bool = False, lazy
         ins, outs = ["fq12", "coeff"], ["fq12"]
     elif kind in ("miller_sq_step", "miller_step"):
         body = functools.partial(
-            _miller_step_body, q=q, inv=inv, do_sq=(kind == "miller_sq_step")
+            _miller_step_body,
+            q=q,
+            inv=inv,
+            do_sq=(kind == "miller_sq_step"),
+            lazy=lazy,
         )
         ins, outs = ["fq12", "coeff", "fq", "fq"], ["fq12"]
     elif kind == "double_step":
@@ -713,10 +878,11 @@ def _build(kind: str, q_tuple, inv: int, extra=(), interpret: bool = False, lazy
             inv=inv,
             two_inv=extra["two_inv"],
             twist_b=extra["twist_b"],
+            lazy=lazy,
         )
         ins, outs = ["point"], ["point", "coeff"]
     elif kind == "madd_step":
-        body = functools.partial(_madd_step_body, q=q, inv=inv)
+        body = functools.partial(_madd_step_body, q=q, inv=inv, lazy=lazy)
         ins, outs = ["point", "base"], ["point", "coeff"]
     else:  # pragma: no cover
         raise ValueError(kind)
