@@ -4,6 +4,12 @@ Times each stage with an honest host fetch (np.asarray) per measurement —
 block_until_ready is a no-op on the axon tunnel — and reports per-stage
 throughput so optimization effort lands where the time actually goes.
 
+NOTE: the per-call fetch costs ~28 ms + bulk-transfer time through the
+tunnel, which SWAMPS sub-100ms stages at large batches.  For per-stage
+numbers free of that pollution use benchmarks/stage_profile.py (dependent
+checksum-scan timing, 4-byte fetch).  This file remains useful for chained
+kernel micro-rates (--chain amortizes the fetch).
+
 Stages:
   mont       : raw Pallas Montgomery-multiply chain (the innermost kernel)
   mod_add    : modular add chain (XLA elementwise path)

@@ -64,23 +64,23 @@ def main(log2n: int, c: int):
     print(f"point generation ({n} lanes): {t_points:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
-    digits = msm.extract_digits(msm.scalars_to_u16(ss), c)
     r_cap = msm.default_r_cap(n, c)
-    idx, leftover, more = msm.build_schedule_capped(digits, c, r_cap)
+    rounds = msm.build_rounds(ss, c, r_cap)
+    first, spills = rounds
     t_sched = time.perf_counter() - t0
     print(
-        f"schedule: R={idx.shape[-1]} (cap {r_cap}), spill={more}, {t_sched:.1f}s",
+        f"schedule: R={first.shape[-1]} (cap {r_cap}), "
+        f"{len(spills)} window-local spill round(s), {t_sched:.1f}s",
         file=sys.stderr,
     )
 
     pxd, pyd, pzd = (jnp.asarray(t) for t in (px, py, pz))
-    idxd = jnp.asarray(idx)
-    # compile + warmup
-    res = msm._msm_device(pxd, pyd, pzd, idxd, c)
+    # compile + warmup (fetch: block_until_ready is a no-op on the tunnel)
+    res = msm.msm_run(pxd, pyd, pzd, rounds, c)
     _ = tuple(np.asarray(t) for t in res)
 
     t0 = time.perf_counter()
-    res = msm._msm_device(pxd, pyd, pzd, idxd, c)
+    res = msm.msm_run(pxd, pyd, pzd, rounds, c)
     res_h = tuple(np.asarray(t) for t in res)  # tiny fetch forces execution
     dt = time.perf_counter() - t0
 
@@ -100,7 +100,8 @@ def main(log2n: int, c: int):
                 "unit": "s",
                 "n_points": n,
                 "window_c": c,
-                "rounds_R": int(idx.shape[-1]),
+                "rounds_R": int(first.shape[-1]),
+                "spill_rounds": len(spills),
                 "points_per_sec": round(n / dt, 1),
                 "oracle_exact": bool(ok),
                 "schedule_build_s": round(t_sched, 3),
@@ -114,7 +115,7 @@ def main(log2n: int, c: int):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=None, help="log2 of point count")
-    ap.add_argument("--c", type=int, default=13)
+    ap.add_argument("--c", type=int, default=16)
     args = ap.parse_args()
     import jax
 

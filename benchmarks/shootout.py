@@ -17,12 +17,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(n: int):
-    import os
-
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/bn_tpu_jax_cache")
     import jax
 
@@ -59,8 +61,10 @@ def main(n: int):
     kc = fp.to_device(fp.FR, cs)
     kd = fp.to_device(fp.FR, ds)
 
-    # compile + warm
-    acc1 = jax.block_until_ready(one_pass(kc, kd))
+    # compile + warm: must FETCH (np.asarray) — block_until_ready does not
+    # block through this box's TPU tunnel, so without the fetch the timed
+    # window below would pay the one-time program load (minutes)
+    np.asarray(one_pass(kc, kd))
 
     # Time the two passes.  The product fetch (one Gt, ~768 bytes) sits
     # INSIDE the window: on this box block_until_ready does not block

@@ -29,7 +29,14 @@ import jax.numpy as jnp
 from bn_tpu import curve, params as P
 from bn_tpu.fields import fp
 
-DEFAULT_C = 13  # window size in bits
+DEFAULT_C = 16  # window size in bits
+# Window-size balance: the TOP window only ranges over the scalar's leftover
+# high bits, and its bucket load is n / 2^(256 mod' c) — for c=13 the 20th
+# window spans just 7 effective bits of the 254-bit Fr scalars, so its 128
+# live buckets each hold ~n/128 digits and the occupancy-capped schedule
+# degenerates into ~n/(128*r_cap) serial spill rounds (measured: 53 rounds,
+# 223 s at n=2^20).  c=16 divides 256 exactly; the top window then spans the
+# scalars' remaining ~13.8 bits and stays load-balanced with the rest.
 
 
 # ---------------------------------------------------------------------------
@@ -209,8 +216,27 @@ def _bucket_reduce(acc, c: int, w: int, nb: int):
     return res
 
 
+def _accumulate_window(px, py, pz, idx, acc, w0, nb: int):
+    """Accumulate one spill round into a single window's 2^c acc lanes.
+
+    w0 is a TRACED window index (dynamic slice), so every spill round —
+    whatever window it lands on — reuses one compiled program."""
+    start = w0 * nb
+    sub = tuple(
+        jax.lax.dynamic_slice_in_dim(t, start, nb, axis=-1) for t in acc
+    )
+    sub = _accumulate_rounds(px, py, pz, idx, sub)
+    return tuple(
+        jax.lax.dynamic_update_slice_in_dim(t, s, start, axis=-1)
+        for t, s in zip(acc, sub)
+    )
+
+
 _msm_device = jax.jit(_msm_core, static_argnames=("c",))
 _accumulate_device = jax.jit(_accumulate_rounds, donate_argnums=(4,))
+_accumulate_window_device = jax.jit(
+    _accumulate_window, donate_argnums=(4,), static_argnames=("nb",)
+)
 _reduce_device = jax.jit(_bucket_reduce, static_argnames=("c", "w", "nb"))
 
 
@@ -255,27 +281,58 @@ def msm(points, scalars, c: int = DEFAULT_C, r_cap: int | None = None):
     if r_cap is None:
         r_cap = default_r_cap(n, c)
 
+    rounds = build_rounds(scalars, c, r_cap)
+    return msm_run(px, py, pz, rounds, c)
+
+
+def build_rounds(scalars, c: int, r_cap: int):
+    """Host-side: full bounded-occupancy schedule.
+
+    Returns (first_idx, spills): first_idx is the (w, 2^c, R<=r_cap) main
+    schedule; spills is a list of (window, idx(1, 2^c, r_cap)) rounds for
+    buckets whose occupancy exceeded the cap.  Spills are WINDOW-LOCAL:
+    overload is concentrated (a skewed input, or a window whose digit range
+    is narrower than 2^c), so re-running the full (w, 2^c) grid per spill
+    round would multiply the work w-fold for nothing — each spill round
+    instead touches one window's 2^c lanes, and all spill rounds share one
+    padded shape so the device function compiles exactly once."""
     digits = extract_digits(scalars_to_u16(scalars), c)
-    w, nb = digits.shape[0], 1 << c
-    spec = curve.g1_spec()
-
-    idx, leftover, more = build_schedule_capped(digits, c, r_cap)
-    if not more:
-        # common case: one fused accumulate+reduce call
-        return _msm_device(px, py, pz, jnp.asarray(idx), c)
-
-    acc = curve.zero(spec, (w * nb,))
-    while True:
-        # pad every spill round to r_cap so the device function compiles once
-        if idx.shape[-1] < r_cap:
-            pad = np.full(
-                (w, nb, r_cap - idx.shape[-1]), digits.shape[1], dtype=np.int32
+    n_inf = digits.shape[1]  # index n encodes 'no point'
+    first, leftover, more = build_schedule_capped(digits, c, r_cap)
+    spills = []
+    while more:
+        more = False
+        for wk in range(digits.shape[0]):
+            if not leftover[wk].any():
+                continue
+            idx, left_wk, more_wk = build_schedule_capped(
+                leftover[wk : wk + 1], c, r_cap
             )
-            idx = np.concatenate([idx, pad], axis=-1)
-        acc = _accumulate_device(px, py, pz, jnp.asarray(idx), acc)
-        if not more:
-            break
-        idx, leftover, more = build_schedule_capped(leftover, c, r_cap)
+            if idx.shape[-1] < r_cap:
+                pad = np.full(
+                    (1, idx.shape[1], r_cap - idx.shape[-1]), n_inf, np.int32
+                )
+                idx = np.concatenate([idx, pad], axis=-1)
+            spills.append((wk, idx))
+            leftover[wk] = left_wk[0]
+            more = more or more_wk
+    return first, spills
+
+
+def msm_run(px, py, pz, rounds, c: int):
+    """Device-side: execute a prebuilt (first, spills) schedule."""
+    first, spills = rounds
+    if not spills:
+        # common case: one fused accumulate+reduce call
+        return _msm_device(px, py, pz, jnp.asarray(first), c)
+    spec = curve.g1_spec()
+    w, nb = first.shape[0], 1 << c
+    acc = curve.zero(spec, (w * nb,))
+    acc = _accumulate_device(px, py, pz, jnp.asarray(first), acc)
+    for wk, idx in spills:
+        acc = _accumulate_window_device(
+            px, py, pz, jnp.asarray(idx), acc, jnp.int32(wk), nb
+        )
     return _reduce_device(acc, c, w, nb)
 
 
