@@ -199,9 +199,24 @@ def is_zero(spec: CurveSpec, p):
     return spec.field.is_zero(p[2])
 
 
+def _use_curve_kernels() -> bool:
+    """Fused whole-formula add/double Pallas kernels (ops/curve_pallas):
+    one kernel per group op instead of ~70 per-field-op HBM round trips.
+    BN_TPU_CURVE_KERNELS=0 falls back to the per-op path."""
+    import os
+
+    from bn_tpu.ops.backend import use_pallas
+
+    return use_pallas() and os.environ.get("BN_TPU_CURVE_KERNELS", "1") != "0"
+
+
 def double(spec: CurveSpec, p):
     """dbl-2009-l (reference: src/groups/mod.rs:228-247).  Safe at infinity
     (z3 = 2yz = 0 keeps the point at infinity)."""
+    if _use_curve_kernels():
+        from bn_tpu.ops import curve_pallas
+
+        return curve_pallas.point_double(spec.name, p, fp.FQ.m_limbs, fp.FQ.inv)
     F = spec.field
     x, y, z = p
     a, b, yz = F.mul_many([(x, x), (y, y), (y, z)])
@@ -219,6 +234,10 @@ def double(spec: CurveSpec, p):
 def add(spec: CurveSpec, p, q):
     """2007-bl mixed-Jacobian add with branchless degenerate handling
     (reference: src/groups/mod.rs:272-312)."""
+    if _use_curve_kernels():
+        from bn_tpu.ops import curve_pallas
+
+        return curve_pallas.point_add(spec.name, p, q, fp.FQ.m_limbs, fp.FQ.inv)
     F = spec.field
     x1, y1, z1 = p
     x2, y2, z2 = q
