@@ -175,6 +175,19 @@ def pow_fixed(spec: FpSpec, a, e: int):
     """
     if e == 0:
         return ones(spec, a.shape[:-2] + a.shape[-1:])
+    import os
+
+    if (
+        use_pallas()
+        and e.bit_length() > 3 * _WINDOW
+        and os.environ.get("BN_TPU_POW_FUSED", "1") != "0"
+    ):
+        # Fused chunked ladder: ~330 sequential tiny kernels (5 per digit)
+        # become ~12, with all intermediates in registers — same windowed
+        # schedule, bit-identical results (see mont_pallas.pow_fixed_pallas).
+        from bn_tpu.ops.mont_pallas import pow_fixed_pallas
+
+        return pow_fixed_pallas(a, e, spec.m_limbs, spec.inv, spec.one_const)
     digits = _digit_schedule(e)
     one = ones(spec, a.shape[:-2] + a.shape[-1:])
 

@@ -537,22 +537,53 @@ def _z_naf():
     return tuple(reversed(naf))
 
 
+def _cyclo_chain_max() -> int:
+    """Max squarings fused per kernel on the Pallas path (the NAF ladder's
+    squaring runs).  BN_TPU_CYCLO_CHAIN=1 restores one-kernel-per-squaring;
+    0 disables the chain kernel entirely."""
+    import os
+
+    return int(os.environ.get("BN_TPU_CYCLO_CHAIN", "4"))
+
+
+def _cyclo_sq_run(res, n: int):
+    """n successive cyclotomic squarings; fused in chain-kernel chunks on
+    the Pallas path."""
+    from bn_tpu.ops.backend import use_pallas
+
+    k = _cyclo_chain_max() if use_pallas() else 0
+    if k > 1:
+        from bn_tpu.ops import tower_pallas as twp
+
+        while n >= 2:
+            step = min(n, k)
+            res = twp.fq12_cyclo_sq_chain(res, step, FQ.m_limbs, FQ.inv)
+            n -= step
+    for _ in range(n):
+        res = fq12_cyclotomic_sq(res)
+    return res
+
+
 def _exp_by_neg_z_cyclotomic(a):
     """exp_by_neg_z for a PROVABLY cyclotomic input (the final-exp hard
     chunk): NAF ladder with a^-1 = conj(a), unrolled straight-line on the
-    Pallas path (each op is one fused kernel call).  Mathematically equal
-    to the reference's binary ladder (src/fields/fq12.rs:97-101, 229-246);
-    pinned by the same golden vectors through final_exponentiation."""
+    Pallas path (each op is one fused kernel call, with squaring RUNS fused
+    into chain kernels).  Mathematically equal to the reference's binary
+    ladder (src/fields/fq12.rs:97-101, 229-246); pinned by the same golden
+    vectors through final_exponentiation."""
     naf = _z_naf()
     a_conj = fq12_conj(a)
     assert naf[0] == 1
     res = a
+    pending = 0
     for d in naf[1:]:
-        res = fq12_cyclotomic_sq(res)
-        if d == 1:
-            res = fq12_mul(res, a)
-        elif d == -1:
-            res = fq12_mul(res, a_conj)
+        pending += 1
+        if d:
+            res = _cyclo_sq_run(res, pending)
+            pending = 0
+            res = fq12_mul(res, a if d == 1 else a_conj)
+    if pending:
+        res = _cyclo_sq_run(res, pending)
     return fq12_conj(res)
 
 

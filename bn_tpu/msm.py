@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from bn_tpu import curve, params as P
 from bn_tpu.fields import fp
 
-DEFAULT_C = 16  # window size in bits
+DEFAULT_C = 16  # window size in bits for 2^20-class inputs
 # Window-size balance: the TOP window only ranges over the scalar's leftover
 # high bits, and its bucket load is n / 2^(256 mod' c) — for c=13 the 20th
 # window spans just 7 effective bits of the 254-bit Fr scalars, so its 128
@@ -37,6 +37,23 @@ DEFAULT_C = 16  # window size in bits
 # degenerates into ~n/(128*r_cap) serial spill rounds (measured: 53 rounds,
 # 223 s at n=2^20).  c=16 divides 256 exactly; the top window then spans the
 # scalars' remaining ~13.8 bits and stays load-balanced with the rest.
+
+
+def auto_c(n: int) -> int:
+    """Window size matched to the input size.
+
+    A fixed c=16 sizes the bucket accumulator at 16*2^16 ≈ 1M lanes
+    (~200 MB across 3 Jacobian coords) and runs the 16-round shift-scan
+    bucket reduce over all of them — ~6x the memory/reduce work a small
+    MSM needs.  Scale c with n (classic Pippenger balance: accumulation
+    ~n*256/c adds vs reduction ~2^c adds per window), keeping the
+    even-divisor-of-256 choices that leave the top window load-balanced."""
+    if n >= 1 << 19:
+        return 16
+    for c in (13, 11, 9, 7, 5):
+        if n >= 1 << (c + 3):
+            return c
+    return 4
 
 
 # ---------------------------------------------------------------------------
@@ -265,18 +282,22 @@ def host_points_to_affine_arrays(points):
     return px, py, pz
 
 
-def msm(points, scalars, c: int = DEFAULT_C, r_cap: int | None = None):
+def msm(points, scalars, c: int | None = None, r_cap: int | None = None):
     """Multi-scalar multiplication over G1.
 
     points: list of host oracle Jacobian/affine points, or device affine
     tensors; scalars: list of ints.  Returns a batch-1 device Jacobian point.
 
-    Bucket occupancy per accumulation round is capped at r_cap (default:
-    mean + 6 sigma of the uniform load); skewed scalar distributions spill
-    into further bounded rounds instead of inflating the schedule tensor,
-    so device memory and compiled program size are input-independent."""
+    The window size c defaults to auto_c(n) — scaled to the input so small
+    MSMs don't pay a 2^16-bucket accumulator.  Bucket occupancy per
+    accumulation round is capped at r_cap (default: mean + 6 sigma of the
+    uniform load); skewed scalar distributions spill into further bounded
+    rounds instead of inflating the schedule tensor, so device memory and
+    compiled program size are input-independent."""
     n = len(scalars)
     assert n >= 1
+    if c is None:
+        c = auto_c(n)
     px, py, pz = host_points_to_affine_arrays(points)
     if r_cap is None:
         r_cap = default_r_cap(n, c)

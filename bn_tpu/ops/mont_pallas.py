@@ -260,17 +260,16 @@ def _fq2_xi_body(a_ref, o_ref, *, q):
 
 def _block_spec(struct: int):
     """BlockSpec for a (lead, struct..., L, nb, 8, 128) operand: one grid step
-    sees (1, struct..., L, 1, 8, 128)."""
-    ones = (1,) * 1
+    sees (1, struct..., L, 1, 8, 128).  struct is the size of one leading
+    structure axis (0 = none; 2 = Fq2 coefficients; 16 = pow window table)."""
     if struct == 0:
         return pl.BlockSpec(
             (1, NLIMBS, 1, SUBLANES, LANES),
             lambda i, j: (i, 0, j, 0, 0),
             memory_space=pltpu.VMEM,
         )
-    assert struct == 2  # Fq2 coefficient axis
     return pl.BlockSpec(
-        (1, 2, NLIMBS, 1, SUBLANES, LANES),
+        (1, struct, NLIMBS, 1, SUBLANES, LANES),
         lambda i, j: (i, 0, 0, j, 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -327,8 +326,8 @@ def _pack(x, struct: int):
     Bp = B + pad
     nb = Bp // BLOCK_B
     tail = (NLIMBS, nb, SUBLANES, LANES)
-    if struct == 2:
-        x = x.reshape((-1, 2) + tail)
+    if struct:
+        x = x.reshape((-1, struct) + tail)
     else:
         x = x.reshape((-1,) + tail)
     return x, pad, out_shape
@@ -394,3 +393,122 @@ def fq2_sq_pallas(a, m_limbs: np.ndarray, inv: int):
 
 def fq2_xi_pallas(a, m_limbs: np.ndarray):
     return _unary("fq2xi", a, m_limbs, struct=2)
+
+
+# ---------------------------------------------------------------------------
+# fused fixed-exponent powering (Fermat inversion chains)
+#
+# fp.pow_fixed's windowed ladder is mathematically identical, but as jnp ops
+# it dispatches ~5 tiny kernels per 4-bit digit — ~330 sequential kernel
+# launches per inversion chain, which costs ~5 ms/chain at B=8192 on v5e
+# while the arithmetic itself is worth ~0.4 ms.  A reduced pairing pays 3
+# such chains (G1/G2 to_affine + the final-exp Fq12 inversion).  Here the
+# ladder is chunked into Pallas kernels: CHUNK digits (4 squarings + one
+# STATIC table multiply each) run per kernel with every intermediate in
+# registers; the 15-entry window table is built by one kernel.  Digits are
+# compile-time constants, so d = 0 multiplies are simply skipped.
+# ---------------------------------------------------------------------------
+
+_POW_WINDOW = 4
+_POW_TABLE = 1 << _POW_WINDOW
+_POW_CHUNK = 6  # digits per kernel: 6*(4 sq + <=1 mul) = <=30 muls/body
+
+
+def _pow_table_body(a_ref, o_ref, *, q, inv, one_limbs):
+    """o[k] = a^k (Montgomery domain), k = 0..15; o[0] = Montgomery one."""
+    a = _load(a_ref)
+    cur = [jnp.full((SUBLANES, LANES), w, U32) for w in one_limbs]
+    for i in range(NLIMBS):
+        o_ref[0, 0, i, 0] = cur[i]
+    cur = a
+    for k in range(1, _POW_TABLE):
+        for i in range(NLIMBS):
+            o_ref[0, k, i, 0] = cur[i]
+        if k + 1 < _POW_TABLE:
+            cur = _k_mont_mul(cur, a, q, inv)
+
+
+def _pow_chunk_body(x_ref, t_ref, o_ref, *, q, inv, digits):
+    """res = res^(16^len(digits)) * prod_i table[d_i]^(16^(len-1-i)):
+    the windowed ladder for a STATIC digit chunk, fully in registers."""
+    x = _load(x_ref)
+    for d in digits:
+        for _ in range(_POW_WINDOW):
+            x = _k_mont_mul(x, x, q, inv)
+        if d:
+            t = [t_ref[0, d, i, 0] for i in range(NLIMBS)]
+            x = _k_mont_mul(x, t, q, inv)
+    _store(o_ref, x)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_pow_table(q_tuple, inv: int, one_tuple, interpret: bool):
+    q = [np.uint32(v) for v in q_tuple]
+    body = functools.partial(
+        _pow_table_body,
+        q=q,
+        inv=np.uint32(inv),
+        one_limbs=[np.uint32(v) for v in one_tuple],
+    )
+
+    def run(a):
+        lead, nb = a.shape[0], a.shape[-3]
+        out = jax.ShapeDtypeStruct(
+            (lead, _POW_TABLE) + a.shape[1:], a.dtype
+        )
+        return pl.pallas_call(
+            body,
+            out_shape=out,
+            grid=(lead, nb),
+            in_specs=[_block_spec(0)],
+            out_specs=_block_spec(_POW_TABLE),
+            interpret=interpret,
+        )(a)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_pow_chunk(q_tuple, inv: int, digits, interpret: bool):
+    q = [np.uint32(v) for v in q_tuple]
+    body = functools.partial(
+        _pow_chunk_body, q=q, inv=np.uint32(inv), digits=digits
+    )
+
+    def run(x, t):
+        lead, nb = x.shape[0], x.shape[-3]
+        return pl.pallas_call(
+            body,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            grid=(lead, nb),
+            in_specs=[_block_spec(0), _block_spec(_POW_TABLE)],
+            out_specs=_block_spec(0),
+            interpret=interpret,
+        )(x, t)
+
+    return jax.jit(run)
+
+
+def pow_fixed_pallas(a, e: int, m_limbs, inv: int, one_limbs):
+    """a^e for a compile-time exponent (Montgomery domain), chunked-fused.
+
+    Drop-in for the jnp windowed ladder in fp.pow_fixed (same window size,
+    same digit schedule, exact arithmetic — bit-identical results)."""
+    assert e > 0
+    digits = []
+    nd = (e.bit_length() + _POW_WINDOW - 1) // _POW_WINDOW
+    for i in range(nd - 1, -1, -1):
+        digits.append((e >> (i * _POW_WINDOW)) & (_POW_TABLE - 1))
+
+    q_tuple = tuple(int(v) for v in m_limbs)
+    one_tuple = tuple(int(v) for v in np.asarray(one_limbs).reshape(-1))
+    interp = _interp()
+
+    a4, pad, out_shape = _pack(a, 0)
+    table = _build_pow_table(q_tuple, int(inv), one_tuple, interp)(a4)
+    x = table[:, digits[0]]
+    rest = digits[1:]
+    for k in range(0, len(rest), _POW_CHUNK):
+        chunk = tuple(rest[k : k + _POW_CHUNK])
+        x = _build_pow_chunk(q_tuple, int(inv), chunk, interp)(x, table)
+    return _unpack(x, pad, out_shape)

@@ -569,6 +569,19 @@ def _fq12_cyclo_sq_body(a_ref, o_ref, *, q, inv, lazy=True):
     _store_fq12(o_ref, op(_load_fq12(a_ref), q, inv))
 
 
+def _fq12_cyclo_chain_body(a_ref, o_ref, *, q, inv, n, lazy=True):
+    """n successive Granger–Scott cyclotomic squarings in ONE kernel: the
+    12-coefficient intermediate stays in registers/VMEM between squarings
+    instead of round-tripping HBM per squaring.  Used for the squaring runs
+    of the NAF exp_by_neg_z ladders (the hot part of final exponentiation,
+    reference: src/fields/fq12.rs:229-246)."""
+    op = _k12_cyclo_sq_lazy if lazy else _k12_cyclo_sq
+    v = _load_fq12(a_ref)
+    for _ in range(n):
+        v = op(v, q, inv)
+    _store_fq12(o_ref, v)
+
+
 def _fq12_mul024_body(a_ref, c_ref, o_ref, *, q, inv, lazy=True):
     """c_ref holds (ell_0, ell_vw, ell_vv) as a (3,2) struct."""
     f = _load_fq12(a_ref)
@@ -859,6 +872,11 @@ def _build(kind: str, q_tuple, inv: int, extra=(), interpret: bool = False, lazy
     elif kind == "fq12_cyclo_sq":
         body = functools.partial(_fq12_cyclo_sq_body, q=q, inv=inv, lazy=lazy)
         ins, outs = ["fq12"], ["fq12"]
+    elif kind == "fq12_cyclo_chain":
+        body = functools.partial(
+            _fq12_cyclo_chain_body, q=q, inv=inv, n=extra["n"], lazy=lazy
+        )
+        ins, outs = ["fq12"], ["fq12"]
     elif kind == "fq12_mul024":
         body = functools.partial(_fq12_mul024_body, q=q, inv=inv, lazy=lazy)
         ins, outs = ["fq12", "coeff"], ["fq12"]
@@ -953,6 +971,15 @@ def fq12_sq(a, q_limbs, inv):
 
 def fq12_cyclo_sq(a, q_limbs, inv):
     o, pad, osh = _call("fq12_cyclo_sq", (a,), ("fq12",), q_limbs, inv)
+    return _unpack(o, pad, osh)
+
+
+def fq12_cyclo_sq_chain(a, n: int, q_limbs, inv):
+    """a^(2^n) in the cyclotomic subgroup, one fused kernel (n static)."""
+    assert n >= 1
+    o, pad, osh = _call(
+        "fq12_cyclo_chain", (a,), ("fq12",), q_limbs, inv, (("n", n),)
+    )
     return _unpack(o, pad, osh)
 
 

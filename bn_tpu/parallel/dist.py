@@ -224,10 +224,10 @@ def sharded_msm(mesh: Mesh, points, scalars, c: int = None):
     >90% scaling target of BASELINE.md."""
     from bn_tpu import msm as _msm
 
-    if c is None:
-        c = _msm.DEFAULT_C
     n_dev = mesh.devices.size
     n = len(scalars)
+    if c is None:
+        c = _msm.auto_c(max(1, n // n_dev))
     assert n >= n_dev, "need at least one point per device"
     bounds = [(n * i) // n_dev for i in range(n_dev + 1)]
 

@@ -45,3 +45,40 @@ def test_msm_matches_oracle(rng, n):
     got = curve.from_device(curve.g1_spec(), msm.msm(pts, scalars, c=4))[0]
     expect = msm.msm_oracle(pts, scalars)
     assert O.g_eq(O.FQ_OPS, got, expect)
+
+
+def test_msm_spill_path_matches_oracle(rng):
+    """Window-local spill scheduling (build_rounds + _accumulate_window with
+    a traced window index): force spills with a tiny r_cap and SKEWED
+    scalars (identical digits pile into one bucket, the adversarial case the
+    occupancy cap exists for) and check exactness against the oracle."""
+    n = 24
+    pts = [O.g1_mul(O.G1_ONE, rng.randrange(1, P.R_SCALAR)) for _ in range(n)]
+    # half the scalars identical -> one bucket holds 12 entries; r_cap=2
+    # forces ceil(12/2)-1 = 5 spill rounds on that bucket's window(s)
+    skew = rng.randrange(1, P.R_SCALAR)
+    scalars = [skew] * (n // 2) + [
+        rng.randrange(P.R_SCALAR) for _ in range(n - n // 2)
+    ]
+    first, spills = msm.build_rounds(scalars, c=4, r_cap=2)
+    assert len(spills) > 0, "r_cap=2 with 12 identical scalars must spill"
+    assert first.shape[-1] <= 2
+    got = curve.from_device(
+        curve.g1_spec(), msm.msm(pts, scalars, c=4, r_cap=2)
+    )[0]
+    expect = msm.msm_oracle(pts, scalars)
+    assert O.g_eq(O.FQ_OPS, got, expect)
+
+
+def test_auto_c_scales_with_n():
+    assert msm.auto_c(1) == 4
+    assert msm.auto_c(33) == 4
+    assert msm.auto_c(1 << 10) == 7
+    assert msm.auto_c(1 << 16) == 13
+    assert msm.auto_c(1 << 20) == 16
+    # monotone non-decreasing
+    last = 0
+    for k in range(21):
+        c = msm.auto_c(1 << k)
+        assert c >= last
+        last = c

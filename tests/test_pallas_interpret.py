@@ -173,6 +173,24 @@ def test_body_fq12_sq_and_cyclo():
     _eq(gotc, tower.fq12_cyclotomic_sq(a))
 
 
+def test_body_fq12_cyclo_chain():
+    """The fused n-squaring chain kernel == n applications of cyclo_sq."""
+    a = _fq12()
+    for n in (1, 3):
+        (got,) = _run_body(
+            twp._fq12_cyclo_chain_body,
+            [(a, (2, 3, 2))],
+            [(2, 3, 2)],
+            q=Q_CONST,
+            inv=INV_CONST,
+            n=n,
+        )
+        expect = a
+        for _ in range(n):
+            expect = tower.fq12_cyclotomic_sq(expect)
+        _eq(got, expect)
+
+
 def test_body_fq12_mul024():
     a = _fq12()
     e0, evw, evv = _fq2(), _fq2(), _fq2()
@@ -295,6 +313,78 @@ def test_body_madd_step():
     )
     _eq(ro, jnp.stack([rx, ry, rz]))
     _eq(co, coeffs)
+
+
+def test_body_pow_table_and_chunk():
+    """Fused Fermat-chain kernels (mont_pallas.pow_fixed_pallas): the window
+    table body and a digit-chunk body, vs the jnp windowed ladder math."""
+    a = _fq()
+    at = _pack_block(a, ())
+    one_tuple = tuple(
+        int(v) for v in np.asarray(fp.FQ.one_const).reshape(-1)
+    )
+    (table,) = _run_body(
+        mp._pow_table_body,
+        [(a, ())],
+        [(16,)],
+        q=Q_CONST,
+        inv=INV_CONST,
+        one_limbs=[np.uint32(v) for v in one_tuple],
+    )
+    # table[k] must be a^k (Montgomery domain)
+    avals = fp.from_device(fp.FQ, a)
+    for k in range(16):
+        expect = fp.to_device(fp.FQ, [pow(v, k, P.Q) for v in avals])
+        _eq(table[k], expect)
+
+    digits = (3, 0, 11)  # includes the statically-skipped d=0 multiply
+    (got,) = _run_body(
+        mp._pow_chunk_body,
+        [(a, ()), (table, (16,))],
+        [()],
+        q=Q_CONST,
+        inv=INV_CONST,
+        digits=digits,
+    )
+    e = 0
+    for d in digits:
+        e = e * 16 + d
+    # chunk computes x^(16^len) * prod table[d_i]^(16^...) = (value)^(16^3) * a^e
+    # with x = a: a^(4096 + e)
+    expect = fp.to_device(fp.FQ, [pow(v, 4096 + e, P.Q) for v in avals])
+    _eq(got, expect)
+
+
+def test_pow_fixed_pallas_interpret_small_chain():
+    """Whole pow_fixed_pallas pipeline (pack, table kernel, chunk kernels)
+    through the interpreter on a short exponent."""
+    a = _fq(5)
+    e = 0x1A0B7  # 5 hex digits -> 1 table build + 1 chunk call
+    from bn_tpu.ops.mont_pallas import pow_fixed_pallas
+
+    prev = backend.get_backend()
+    try:
+        backend.set_backend("pallas-interpret")
+        got = np.asarray(
+            pow_fixed_pallas(a, e, fp.FQ.m_limbs, fp.FQ.inv, fp.FQ.one_const)
+        )
+    finally:
+        backend.set_backend(prev)
+    expect = fp.to_device(
+        fp.FQ, [pow(v, e, P.Q) for v in fp.from_device(fp.FQ, a)]
+    )
+    _eq(got, expect)
+
+
+def test_pow_fixed_jnp_vs_oracle_inverse_exponent():
+    """The jnp ladder and the fused ladder share the digit schedule; pin the
+    jnp path against Python pow on the actual Fermat exponent q-2."""
+    a = _fq(7)
+    got = jax.jit(lambda x: fp.inv(fp.FQ, x))(a)
+    expect = fp.to_device(
+        fp.FQ, [pow(v, P.Q - 2, P.Q) for v in fp.from_device(fp.FQ, a)]
+    )
+    _eq(got, expect)
 
 
 # ---------------------------------------------------------------------------

@@ -127,6 +127,36 @@ def test_final_exponentiation(rng):
     assert T.fq12_from_device(got) == [O.final_exponentiation(x) for x in a]
 
 
+def test_final_exp_straight_matches_tape(rng):
+    """The straight-line chain (_final_exp_straight) is what the Pallas
+    backend runs, but CI uses the jnp backend, where final_exponentiation
+    dispatches to the tape VM — so exercise the straight-line path directly
+    against the oracle and the tape.  Run EAGERLY: under the jnp backend
+    the straight-line trace inlines every op's limb expansion (~280k HLO),
+    which is exactly the compile blowup the tape VM exists to avoid."""
+    a = [rfq12(rng) for _ in range(B)]
+    da = T.fq12_to_device(a)
+    got = T._final_exp_straight(da)
+    assert T.fq12_from_device(got) == [O.final_exponentiation(x) for x in a]
+    tape = jax.jit(T.final_exponentiation)(da)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(tape))
+
+
+def test_exp_by_neg_z_cyclotomic_naf(rng):
+    """The NAF conj-as-inverse ladder is only valid for cyclotomic inputs;
+    feed it elements of the cyclotomic subgroup (easy-part outputs) and
+    check against the plain binary ladder.  Eager for the same compile-cost
+    reason as test_final_exp_straight_matches_tape."""
+    raw = [rfq12(rng) for _ in range(B)]
+    cyc = []
+    for x in raw:
+        t = O.fq12_mul(O.fq12_conj(x), O.fq12_inv(x))  # f^(q^6-1)
+        cyc.append(O.fq12_mul(O.fq12_frob(t, 2), t))  # ... ^(q^2+1)
+    da = T.fq12_to_device(cyc)
+    got = T._exp_by_neg_z_cyclotomic(da)
+    assert T.fq12_from_device(got) == [O.fq12_exp_by_neg_z(x) for x in cyc]
+
+
 def test_fq12_mul_slice_stack_regression():
     """Regression for an XLA:TPU miscompile: fq12_mul at batch >= 1024 with
     operands sliced+stacked from the (2,3,2,L,B) tensor produced wrong
