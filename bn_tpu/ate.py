@@ -252,18 +252,25 @@ def miller_loop(coeffs, p_affine):
         f, _ = jax.lax.scan(body, f0, (coeffs, jnp.asarray(flags)))
         return f
 
+    # Hoist the G1 scaling OUT of the scan: every step's (ell_vw, ell_vv)
+    # is multiplied by (g1.y, g1.x) in one batched kernel over all 102
+    # steps, instead of one tiny per-step multiply inside the loop
+    # (semantics per step identical to the reference, src/groups/mod.rs:
+    # 500-508 — the scan then consumes pre-scaled slices).
+    yx = tower.bstack([py, px])  # (2, L, B)
+    scaled = tower.fq2_scale_fq(
+        jax.lax.optimization_barrier(coeffs[:, 1:3]), yx[None]
+    )  # (102, 2, 2, L, B)
+
     def body(f, xs):
-        coeff, is_add = xs
+        ell_0, s, is_add = xs
         f = jax.lax.cond(is_add != 0, lambda g: g, tower.fq12_sq, f)
-        ell_0 = coeff[0]
-        # scale ell_vw by g1.y and ell_vv by g1.x in one stacked multiply
-        scaled = tower.fq2_scale_fq(
-            tower.bstack([coeff[1], coeff[2]]), tower.bstack([py, px])
-        )
-        f = tower.fq12_mul_by_024(f, ell_0, scaled[0], scaled[1])
+        f = tower.fq12_mul_by_024_prescaled(f, ell_0, s)
         return f, None
 
-    f, _ = jax.lax.scan(body, f0, (coeffs, jnp.asarray(flags)))
+    f, _ = jax.lax.scan(
+        body, f0, (coeffs[:, 0], scaled, jnp.asarray(flags))
+    )
     return f
 
 

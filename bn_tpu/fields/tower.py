@@ -387,6 +387,20 @@ def fq12_frob(a, power: int):
     return pack12(x0, x1)
 
 
+def fq12_mul_by_024_prescaled(a, ell_0, scaled):
+    """fq12_mul_by_024 taking the G1-scaled pair as one (2, 2, L, B) tensor
+    (scaled[0] = ell_vw*y, scaled[1] = ell_vv*x), so the Miller scan can
+    feed pre-scaled coefficient slices without a per-step restack."""
+    from bn_tpu.ops.backend import use_pallas
+
+    if use_pallas():
+        from bn_tpu.ops import tower_pallas as twp
+
+        return twp.fq12_mul024_pre(a, ell_0, scaled, FQ.m_limbs, FQ.inv)
+    s = jax.lax.optimization_barrier(scaled)  # see bstack
+    return fq12_mul_by_024(a, ell_0, s[..., 0, :, :, :], s[..., 1, :, :, :])
+
+
 def fq12_mul_by_024(a, ell_0, ell_vw, ell_vv):
     """Sparse line multiply: 13 Fq2 products = 39 Fq products, one stacked
     mont_mul (reference: src/fields/fq12.rs:107-176).  One fused Pallas
@@ -537,28 +551,17 @@ def _z_naf():
     return tuple(reversed(naf))
 
 
-def _cyclo_chain_max() -> int:
-    """Max squarings fused per kernel on the Pallas path (the NAF ladder's
-    squaring runs).  BN_TPU_CYCLO_CHAIN=1 restores one-kernel-per-squaring;
-    0 disables the chain kernel entirely."""
+def _cyclo_sq_run(res, n: int):
+    """n successive cyclotomic squarings; one grid-chained kernel call on
+    the Pallas path (the chain length is a grid axis, not a kernel build)."""
     import os
 
-    return int(os.environ.get("BN_TPU_CYCLO_CHAIN", "4"))
-
-
-def _cyclo_sq_run(res, n: int):
-    """n successive cyclotomic squarings; fused in chain-kernel chunks on
-    the Pallas path."""
     from bn_tpu.ops.backend import use_pallas
 
-    k = _cyclo_chain_max() if use_pallas() else 0
-    if k > 1:
+    if use_pallas() and n >= 2 and os.environ.get("BN_TPU_CYCLO_CHAIN", "1") != "0":
         from bn_tpu.ops import tower_pallas as twp
 
-        while n >= 2:
-            step = min(n, k)
-            res = twp.fq12_cyclo_sq_chain(res, step, FQ.m_limbs, FQ.inv)
-            n -= step
+        return twp.fq12_cyclo_sq_chain(res, n, FQ.m_limbs, FQ.inv)
     for _ in range(n):
         res = fq12_cyclotomic_sq(res)
     return res

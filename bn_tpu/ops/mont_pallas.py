@@ -403,15 +403,18 @@ def fq2_xi_pallas(a, m_limbs: np.ndarray):
 # launches per inversion chain, which costs ~5 ms/chain at B=8192 on v5e
 # while the arithmetic itself is worth ~0.4 ms.  A reduced pairing pays 3
 # such chains (G1/G2 to_affine + the final-exp Fq12 inversion).  Here the
-# ladder is chunked into Pallas kernels: CHUNK digits (4 squarings + one
-# STATIC table multiply each) run per kernel with every intermediate in
-# registers; the 15-entry window table is built by one kernel.  Digits are
-# compile-time constants, so d = 0 multiplies are simply skipped.
+# whole ladder is ONE pallas_call: the digit axis is the innermost grid
+# dimension (CHUNK digits per grid step), digits live in SMEM and index the
+# 16-entry window table dynamically, and the running value is carried in the
+# output block, which the consecutive revisits keep resident in VMEM — no
+# HBM round-trips between chunks and, critically, no per-exponent kernel
+# builds (the earlier design specialized one kernel per static digit chunk:
+# ~11 distinct ~25 s Pallas traces per exponent, every process start).
 # ---------------------------------------------------------------------------
 
 _POW_WINDOW = 4
 _POW_TABLE = 1 << _POW_WINDOW
-_POW_CHUNK = 6  # digits per kernel: 6*(4 sq + <=1 mul) = <=30 muls/body
+_POW_CHUNK = 6  # digits per grid step: 6*(4 sq + 1 mul) = 30 muls/body
 
 
 def _pow_table_body(a_ref, o_ref, *, q, inv, one_limbs):
@@ -428,16 +431,24 @@ def _pow_table_body(a_ref, o_ref, *, q, inv, one_limbs):
             cur = _k_mont_mul(cur, a, q, inv)
 
 
-def _pow_chunk_body(x_ref, t_ref, o_ref, *, q, inv, digits):
-    """res = res^(16^len(digits)) * prod_i table[d_i]^(16^(len-1-i)):
-    the windowed ladder for a STATIC digit chunk, fully in registers."""
-    x = _load(x_ref)
-    for d in digits:
+def _pow_ladder_body(d_ref, t_ref, o_ref, *, q, inv, one_limbs):
+    """One grid step = _POW_CHUNK windowed-ladder digits, all in registers.
+
+    The running value is the OUTPUT block: grid step k reads what step k-1
+    stored (consecutive steps revisit the same block, so it stays in VMEM),
+    and step 0 starts from the Montgomery one.  Digits are dynamic (SMEM),
+    so a d = 0 slot multiplies by table[0] = one — an exact identity in
+    Montgomery form — and one compiled kernel serves every exponent."""
+    k = pl.program_id(2)
+    ones = [jnp.full((SUBLANES, LANES), w, U32) for w in one_limbs]
+    prev = _load(o_ref)
+    x = [jnp.where(k == 0, ones[i], prev[i]) for i in range(NLIMBS)]
+    for s in range(_POW_CHUNK):
+        d = d_ref[k * _POW_CHUNK + s]
         for _ in range(_POW_WINDOW):
             x = _k_mont_mul(x, x, q, inv)
-        if d:
-            t = [t_ref[0, d, i, 0] for i in range(NLIMBS)]
-            x = _k_mont_mul(x, t, q, inv)
+        t = [t_ref[0, d, i, 0] for i in range(NLIMBS)]
+        x = _k_mont_mul(x, t, q, inv)
     _store(o_ref, x)
 
 
@@ -469,36 +480,61 @@ def _build_pow_table(q_tuple, inv: int, one_tuple, interpret: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_pow_chunk(q_tuple, inv: int, digits, interpret: bool):
+def _build_pow_ladder(q_tuple, inv: int, one_tuple, interpret: bool):
     q = [np.uint32(v) for v in q_tuple]
     body = functools.partial(
-        _pow_chunk_body, q=q, inv=np.uint32(inv), digits=digits
+        _pow_ladder_body,
+        q=q,
+        inv=np.uint32(inv),
+        one_limbs=[np.uint32(v) for v in one_tuple],
+    )
+    # 3D-grid specs: digit-chunk axis k is INNERMOST, so consecutive steps
+    # revisit the same (lead, nb) blocks and the carry stays in VMEM.
+    val_spec = pl.BlockSpec(
+        (1, NLIMBS, 1, SUBLANES, LANES),
+        lambda i, j, k: (i, 0, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    tab_spec = pl.BlockSpec(
+        (1, _POW_TABLE, NLIMBS, 1, SUBLANES, LANES),
+        lambda i, j, k: (i, 0, 0, j, 0, 0),
+        memory_space=pltpu.VMEM,
     )
 
-    def run(x, t):
-        lead, nb = x.shape[0], x.shape[-3]
+    def run(d, t, *, n_chunks):
+        lead, nb = t.shape[0], t.shape[-3]
         return pl.pallas_call(
             body,
-            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-            grid=(lead, nb),
-            in_specs=[_block_spec(0), _block_spec(_POW_TABLE)],
-            out_specs=_block_spec(0),
+            out_shape=jax.ShapeDtypeStruct(
+                (lead, NLIMBS, nb, SUBLANES, LANES), t.dtype
+            ),
+            grid=(lead, nb, n_chunks),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                tab_spec,
+            ],
+            out_specs=val_spec,
             interpret=interpret,
-        )(x, t)
+        )(d, t)
 
-    return jax.jit(run)
+    return jax.jit(run, static_argnames=("n_chunks",))
 
 
 def pow_fixed_pallas(a, e: int, m_limbs, inv: int, one_limbs):
-    """a^e for a compile-time exponent (Montgomery domain), chunked-fused.
+    """a^e for a compile-time exponent (Montgomery domain), grid-fused.
 
     Drop-in for the jnp windowed ladder in fp.pow_fixed (same window size,
-    same digit schedule, exact arithmetic — bit-identical results)."""
+    same digit schedule, exact arithmetic — bit-identical results).  The
+    digit string is front-padded with zeros to a _POW_CHUNK multiple; the
+    ladder starts from one, so leading zero digits are exact no-ops."""
     assert e > 0
-    digits = []
     nd = (e.bit_length() + _POW_WINDOW - 1) // _POW_WINDOW
-    for i in range(nd - 1, -1, -1):
-        digits.append((e >> (i * _POW_WINDOW)) & (_POW_TABLE - 1))
+    digits = [
+        (e >> (i * _POW_WINDOW)) & (_POW_TABLE - 1)
+        for i in range(nd - 1, -1, -1)
+    ]
+    digits = [0] * ((-len(digits)) % _POW_CHUNK) + digits
+    n_chunks = len(digits) // _POW_CHUNK
 
     q_tuple = tuple(int(v) for v in m_limbs)
     one_tuple = tuple(int(v) for v in np.asarray(one_limbs).reshape(-1))
@@ -506,9 +542,7 @@ def pow_fixed_pallas(a, e: int, m_limbs, inv: int, one_limbs):
 
     a4, pad, out_shape = _pack(a, 0)
     table = _build_pow_table(q_tuple, int(inv), one_tuple, interp)(a4)
-    x = table[:, digits[0]]
-    rest = digits[1:]
-    for k in range(0, len(rest), _POW_CHUNK):
-        chunk = tuple(rest[k : k + _POW_CHUNK])
-        x = _build_pow_chunk(q_tuple, int(inv), chunk, interp)(x, table)
+    x = _build_pow_ladder(q_tuple, int(inv), one_tuple, interp)(
+        jnp.asarray(digits, dtype=jnp.int32), table, n_chunks=n_chunks
+    )
     return _unpack(x, pad, out_shape)

@@ -569,17 +569,25 @@ def _fq12_cyclo_sq_body(a_ref, o_ref, *, q, inv, lazy=True):
     _store_fq12(o_ref, op(_load_fq12(a_ref), q, inv))
 
 
-def _fq12_cyclo_chain_body(a_ref, o_ref, *, q, inv, n, lazy=True):
-    """n successive Granger–Scott cyclotomic squarings in ONE kernel: the
-    12-coefficient intermediate stays in registers/VMEM between squarings
-    instead of round-tripping HBM per squaring.  Used for the squaring runs
-    of the NAF exp_by_neg_z ladders (the hot part of final exponentiation,
-    reference: src/fields/fq12.rs:229-246)."""
+def _tree_where(cond, x, y):
+    """Elementwise select through the nested-list fq-tower structure."""
+    if isinstance(x, list):
+        return [_tree_where(cond, a, b) for a, b in zip(x, y)]
+    return jnp.where(cond, x, y)
+
+
+def _fq12_cyclo_chain_body(a_ref, o_ref, *, q, inv, lazy=True):
+    """n successive Granger–Scott cyclotomic squarings in ONE pallas_call:
+    the squaring count is the INNERMOST grid axis, and the running value is
+    carried in the output block, which consecutive revisits keep resident
+    in VMEM — no HBM round-trips between squarings, and one compiled kernel
+    serves every chain length.  Used for the squaring runs of the NAF
+    exp_by_neg_z ladders (the hot part of final exponentiation, reference:
+    src/fields/fq12.rs:229-246)."""
     op = _k12_cyclo_sq_lazy if lazy else _k12_cyclo_sq
-    v = _load_fq12(a_ref)
-    for _ in range(n):
-        v = op(v, q, inv)
-    _store_fq12(o_ref, v)
+    k = pl.program_id(2)
+    v = _tree_where(k == 0, _load_fq12(a_ref), _load_fq12(o_ref))
+    _store_fq12(o_ref, op(v, q, inv))
 
 
 def _fq12_mul024_body(a_ref, c_ref, o_ref, *, q, inv, lazy=True):
@@ -588,6 +596,21 @@ def _fq12_mul024_body(a_ref, c_ref, o_ref, *, q, inv, lazy=True):
     e0 = _load_fq2(c_ref, (0,))
     evw = _load_fq2(c_ref, (1,))
     evv = _load_fq2(c_ref, (2,))
+    if lazy:
+        _store_fq12(o_ref, _k12_mul024_lazy(f, e0, evv, evw, q, inv))
+    else:
+        _store_fq12(o_ref, _k12_mul_by_024(f, e0, evv, evw, q, inv))
+
+
+def _fq12_mul024_pre_body(a_ref, e0_ref, s_ref, o_ref, *, q, inv, lazy=True):
+    """Sparse line multiply with PRE-SCALED coefficients: e0_ref = ell_0,
+    s_ref = the (ell_vw*g1.y, ell_vv*g1.x) pair as a (2,2) struct.  The
+    scaling is hoisted out of the Miller scan (ate.miller_loop) into one
+    batched multiply over all 102 ladder steps."""
+    f = _load_fq12(a_ref)
+    e0 = _load_fq2(e0_ref)
+    evw = _load_fq2(s_ref, (0,))
+    evv = _load_fq2(s_ref, (1,))
     if lazy:
         _store_fq12(o_ref, _k12_mul024_lazy(f, e0, evv, evw, q, inv))
     else:
@@ -873,13 +896,33 @@ def _build(kind: str, q_tuple, inv: int, extra=(), interpret: bool = False, lazy
         body = functools.partial(_fq12_cyclo_sq_body, q=q, inv=inv, lazy=lazy)
         ins, outs = ["fq12"], ["fq12"]
     elif kind == "fq12_cyclo_chain":
-        body = functools.partial(
-            _fq12_cyclo_chain_body, q=q, inv=inv, n=extra["n"], lazy=lazy
+        body = functools.partial(_fq12_cyclo_chain_body, q=q, inv=inv, lazy=lazy)
+        # dedicated 3D-grid run: squaring axis innermost so consecutive
+        # steps revisit (and keep in VMEM) the same value block
+        spec3 = pl.BlockSpec(
+            (1, 2, 3, 2, NLIMBS, 1, SUBLANES, LANES),
+            lambda i, j, k: (i, 0, 0, 0, 0, j, 0, 0),
+            memory_space=pltpu.VMEM,
         )
-        ins, outs = ["fq12"], ["fq12"]
+
+        def run_chain(a, *, n):
+            lead, nb = a.shape[0], a.shape[-3]
+            return pl.pallas_call(
+                body,
+                out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
+                grid=(lead, nb, n),
+                in_specs=[spec3],
+                out_specs=spec3,
+                interpret=interpret,
+            )(a)
+
+        return jax.jit(run_chain, static_argnames=("n",))
     elif kind == "fq12_mul024":
         body = functools.partial(_fq12_mul024_body, q=q, inv=inv, lazy=lazy)
         ins, outs = ["fq12", "coeff"], ["fq12"]
+    elif kind == "fq12_mul024_pre":
+        body = functools.partial(_fq12_mul024_pre_body, q=q, inv=inv, lazy=lazy)
+        ins, outs = ["fq12", "fq2", "base"], ["fq12"]
     elif kind in ("miller_sq_step", "miller_step"):
         body = functools.partial(
             _miller_step_body,
@@ -975,18 +1018,40 @@ def fq12_cyclo_sq(a, q_limbs, inv):
 
 
 def fq12_cyclo_sq_chain(a, n: int, q_limbs, inv):
-    """a^(2^n) in the cyclotomic subgroup, one fused kernel (n static)."""
+    """a^(2^n) in the cyclotomic subgroup: ONE pallas_call whose innermost
+    grid axis runs the n squarings with the value VMEM-resident throughout
+    (one kernel build for every n)."""
     assert n >= 1
-    o, pad, osh = _call(
-        "fq12_cyclo_chain", (a,), ("fq12",), q_limbs, inv, (("n", n),)
+    from bn_tpu.ops.backend import interpret_mode
+
+    ap, pad, osh = _pack(a, _STRUCTS["fq12"])
+    run = _build(
+        "fq12_cyclo_chain",
+        tuple(int(v) for v in q_limbs),
+        int(inv),
+        (),
+        interpret_mode(),
+        _lazy_default(),
     )
-    return _unpack(o, pad, osh)
+    return _unpack(run(ap, n=n), pad, osh)
 
 
 def fq12_mul024(f, coeff, q_limbs, inv):
     """coeff: (..., 3, 2, L, B) = (ell_0, ell_vw, ell_vv) already scaled."""
     o, pad, osh = _call(
         "fq12_mul024", (f, coeff), ("fq12", "coeff"), q_limbs, inv
+    )
+    return _unpack(o, pad, osh)
+
+
+def fq12_mul024_pre(f, ell0, scaled, q_limbs, inv):
+    """ell0: (..., 2, L, B); scaled: (..., 2, 2, L, B) = (ell_vw*y, ell_vv*x)."""
+    o, pad, osh = _call(
+        "fq12_mul024_pre",
+        (f, ell0, scaled),
+        ("fq12", "fq2", "base"),
+        q_limbs,
+        inv,
     )
     return _unpack(o, pad, osh)
 
